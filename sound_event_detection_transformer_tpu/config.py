@@ -1,0 +1,311 @@
+"""Configuration system for the TPU-native SEDT framework.
+
+Replaces the reference's two-tier config (module constants in ``config.py`` plus
+per-CLI argparse surfaces, ``/root/reference/config.py:13-72`` and
+``/root/reference/train_sedt.py:28-129``) with typed dataclasses.  No import-time
+I/O: class lists are loaded explicitly via :func:`load_classes_from_tsv`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+# DCASE2019 task4 class list (reference derives it from validation.tsv at import
+# time, /root/reference/config.py:63).  Hardcoded here so the framework works
+# without the dataset present; load_classes_from_tsv overrides when data exists.
+DCASE_CLASSES = (
+    "Alarm_bell_ringing",
+    "Blender",
+    "Cat",
+    "Dishes",
+    "Dog",
+    "Electric_shaver_toothbrush",
+    "Frying",
+    "Running_water",
+    "Speech",
+    "Vacuum_cleaner",
+)
+
+URBAN_CLASSES = (
+    "air_conditioner",
+    "car_horn",
+    "children_playing",
+    "dog_bark",
+    "drilling",
+    "engine_idling",
+    "gun_shot",
+    "jackhammer",
+    "siren",
+    "street_music",
+)
+
+# Class prior used by the semi-supervised threshold adaptation
+# (reference /root/reference/engine.py:354-356).
+DCASE_CLASS_PRIOR = (
+    0.09915014, 0.02266289, 0.08050047, 0.13385269, 0.13456091,
+    0.01534466, 0.02219075, 0.05594901, 0.41406988, 0.0217186,
+)
+
+
+def load_classes_from_tsv(tsv_path: str) -> Tuple[str, ...]:
+    """Load the sorted unique event labels of a metadata TSV.
+
+    Mirrors the reference's import-time class derivation
+    (/root/reference/config.py:62-65) but as an explicit call.
+    """
+    import pandas as pd
+
+    df = pd.read_csv(tsv_path, sep="\t")
+    return tuple(df.event_label.dropna().sort_values().unique())
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Log-mel frontend parameters (reference /root/reference/config.py:38-52)."""
+
+    sample_rate: int = 16000
+    n_window: int = 1024
+    n_fft: int = 1024
+    hop_size: int = 323
+    n_mels: int = 64
+    max_len_seconds: float = 10.0
+    compute_log: bool = True
+    noise_snr: float = 30.0
+
+    @property
+    def max_frames(self) -> int:
+        # DCASE: ceil(10 * 16000 / 323) = 496 (reference config.py:44)
+        return math.ceil(self.max_len_seconds * self.sample_rate / self.hop_size)
+
+    @classmethod
+    def dcase(cls) -> "FeatureConfig":
+        return cls()
+
+    @classmethod
+    def urbansed(cls) -> "FeatureConfig":
+        # reference config.py:47-52
+        sr = 44100
+        return cls(
+            sample_rate=sr,
+            n_window=int(0.04 * sr),
+            n_fft=2048,
+            hop_size=int(0.02 * sr),
+            n_mels=64,
+        )
+
+    @property
+    def urban_max_frames(self) -> int:
+        return int(self.max_len_seconds * self.sample_rate / self.hop_size)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """SEDT / SP-SEDT architecture knobs (reference train_sedt.py:86-120)."""
+
+    backbone: str = "resnet50"
+    dilation: bool = True  # reference always passes --dilation in README recipes
+    position_embedding: str = "sine"  # 'sine' | 'learned'
+    hidden_dim: int = 256
+    nheads: int = 8
+    dim_feedforward: int = 2048
+    enc_layers: int = 3
+    dec_layers: int = 3
+    dropout: float = 0.1
+    pre_norm: bool = True  # reference default True (train_sedt.py:98)
+    num_classes: int = 10
+    num_queries: int = 10  # 10 urban / 20 dcase (train_sedt.py:151-152)
+    aux_loss: bool = True
+    dec_at: bool = False  # audio-tag query at decoder slot 0
+    pooling: Optional[str] = None  # None | 'max' | 'avg' | 'attn' | 'weighted_sum'
+    # SP-SEDT (reference spsedt.py:14-32)
+    self_sup: bool = False
+    feature_recon: bool = False
+    query_shuffle: bool = False
+    mask_ratio: float = 0.1
+    num_patches: int = 10
+    # numerics
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # 'bfloat16' for speed on TPU
+
+    # input geometry (set from FeatureConfig at build time)
+    max_frames: int = 496
+    n_mels: int = 64
+    # dense target capacity (fixed-shape padded targets; reference caps mixed
+    # samples at 20 events, utilities/mixup.py:13)
+    max_events: int = 20
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Set-criterion weights (reference sedt/__init__.py:38-56, matcher args)."""
+
+    set_cost_class: float = 1.0
+    set_cost_bbox: float = 5.0
+    set_cost_giou: float = 2.0
+    ce_loss_coef: float = 1.0
+    bbox_loss_coef: float = 5.0
+    giou_loss_coef: float = 2.0
+    weak_loss_coef: float = 1.0
+    weak_loss_p_coef: float = 1.0
+    feature_loss_coef: float = 1.0
+    eos_coef: float = 0.1
+    # focal loss (reference config.py:71-72)
+    alpha_fl: float = 0.5
+    gamma_fl: float = 1.0
+    # fine-tune-stage relaxed matching (reference matcher.py:25,99-121)
+    epsilon: float = 0.0
+    alpha: float = 100.0
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset paths and composition (reference config.py:14-32)."""
+
+    dataset_name: str = "urbansed"  # 'urbansed' | 'dcase'
+    root: str = "./data"
+    exp_root: str = "./exp"
+    classes: Tuple[str, ...] = URBAN_CLASSES
+    batch_size: int = 64
+    n_weak: int = 0  # weak-labeled sub-batch size (train_sedt.py:201-216)
+    num_workers: int = 0
+    in_memory: bool = True
+    nb_files: Optional[int] = None  # subset for debugging
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.classes)
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Device-side augmentation switches (reference BoxTransforms.py)."""
+
+    mix_up_ratio: float = 0.0
+    time_mask: bool = False
+    freq_mask: bool = False
+    freq_shift: bool = False
+    gaussian_noise_snr: float = 30.0  # teacher/student pair SNR (BoxTransforms.py:121-180)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (reference train_sedt.py:70-84, 234-316)."""
+
+    lr: float = 1e-4
+    lr_backbone: float = 1e-5
+    weight_decay: float = 1e-4
+    epochs: int = 400
+    epochs_ls: int = 280  # learning-stage end; fine-tune stage after
+    lr_drop: int = 160
+    lr_drop_gamma: float = 0.5
+    clip_max_norm: float = 0.1
+    accumulating_gradient_steps: int = 1
+    accumlating_ema_steps: int = 1
+    ema_decay: float = 0.9996
+    seed: int = 42
+    eval_interval: int = 1
+    checkpoint_epochs: Optional[int] = None
+    early_stopping_patience: int = 50
+    early_stopping_init_wait: int = 50
+    fusion_strategy: Tuple[int, ...] = (1,)
+    fine_tune: bool = False
+    normalize: bool = False
+    focal_loss: bool = False
+    info: str = "sedt"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit SPMD (replaces the reference's NCCL DDP,
+    /root/reference/utilities/distribute.py:43-65)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    n_data: int = -1  # -1: all devices on the data axis
+    n_model: int = 1
+
+
+@dataclass(frozen=True)
+class SEDTConfig:
+    """Top-level bundle mirroring the full train_sedt.py flag surface."""
+
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "SEDTConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @classmethod
+    def urbansed_supervised(cls) -> "SEDTConfig":
+        """The URBAN-SED supervised recipe (reference README.md:17-30)."""
+        feats = FeatureConfig.urbansed()
+        return cls(
+            features=feats,
+            model=ModelConfig(
+                enc_layers=3,
+                dec_layers=3,
+                num_queries=10,
+                num_classes=10,
+                dec_at=True,
+                max_frames=feats.urban_max_frames,
+                n_mels=feats.n_mels,
+            ),
+            data=DataConfig(dataset_name="urbansed", classes=URBAN_CLASSES, batch_size=64),
+            train=TrainConfig(epochs=400, epochs_ls=280, lr_drop=160),
+        )
+
+    @classmethod
+    def dcase_finetune(cls) -> "SEDTConfig":
+        """DCASE fine-tune recipe (reference README.md:67-81)."""
+        feats = FeatureConfig.dcase()
+        return cls(
+            features=feats,
+            model=ModelConfig(
+                enc_layers=6,
+                dec_layers=6,
+                num_queries=20,
+                num_classes=10,
+                dec_at=True,
+                max_frames=feats.max_frames,
+                n_mels=feats.n_mels,
+            ),
+            data=DataConfig(
+                dataset_name="dcase", classes=DCASE_CLASSES, batch_size=32, n_weak=16
+            ),
+            loss=LossConfig(weak_loss_coef=0.25),
+        )
+
+    @classmethod
+    def tiny_test(cls) -> "SEDTConfig":
+        """Small config for unit tests / smoke runs."""
+        return cls(
+            features=FeatureConfig(sample_rate=8000, n_window=256, n_fft=256, hop_size=128, n_mels=32, max_len_seconds=2.0),
+            model=ModelConfig(
+                backbone="resnet18",
+                enc_layers=1,
+                dec_layers=2,
+                hidden_dim=64,
+                nheads=4,
+                dim_feedforward=128,
+                num_queries=6,
+                num_classes=4,
+                dec_at=True,
+                max_frames=128,
+                n_mels=32,
+                max_events=8,
+            ),
+            data=DataConfig(classes=URBAN_CLASSES[:4], batch_size=4),
+            train=TrainConfig(epochs=2, epochs_ls=1, seed=0),
+        )

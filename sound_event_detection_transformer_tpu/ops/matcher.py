@@ -1,0 +1,365 @@
+"""Batched on-device Hungarian assignment for DETR-style set prediction.
+
+The reference moves the cost matrix to the CPU and calls
+``scipy.optimize.linear_sum_assignment`` per sample — and per auxiliary decoder
+layer (/root/reference/sedt/matcher.py:92-95, sedt.py:335-351).  That is a
+device→host→device round trip on every training step.  Here the exact O(n^3)
+Jonker–Volgenant shortest-augmenting-path algorithm runs on the TPU inside the
+jitted train step, expressed with ``lax.while_loop``/``lax.fori_loop`` and
+vmapped over (batch × decoder-layer).  Problem sizes are tiny (num_queries 10 or
+20), so the sequential outer loop costs microseconds while eliminating host
+synchronization entirely.
+
+Targets are dense fixed-capacity tensors ``(labels [M], boxes [M,2],
+valid [M])`` instead of the reference's ragged per-sample dicts; invalid target
+columns and (when M > Q) dummy query rows get a large constant cost so the
+optimal square assignment restricted to real cells equals the rectangular LSAP
+solution scipy computes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import box_ops
+
+# Dummy-cell cost.  Real costs are clamped to [-REAL_CLAMP, REAL_CLAMP]; with
+# N <= 64 rows, BIG > 2 * N * REAL_CLAMP guarantees the solver maximizes the
+# number of real matches before minimizing real cost (standard LSAP padding
+# argument), while staying small enough for f32 potentials to keep ~1e-3
+# absolute resolution on real-cost differences.
+REAL_CLAMP = 100.0
+BIG = 1.0e4
+INF = 1.0e18
+
+
+def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
+    """Solve the square linear sum assignment problem exactly.
+
+    Args:
+      cost: [n, n] float32 cost matrix.
+    Returns:
+      row4col: [n] int32, ``row4col[j]`` = row assigned to column ``j``.
+
+    Jonker–Volgenant shortest augmenting path with dual potentials; the
+    classical formulation uses 1-indexed arrays with column 0 as the virtual
+    root of each augmenting tree, which we keep (arrays have length n+1).
+    """
+    n = cost.shape[0]
+    cost = cost.astype(jnp.float32)
+    # a[i, j] with i, j in 1..n
+    a = jnp.full((n + 1, n + 1), 0.0, dtype=jnp.float32).at[1:, 1:].set(cost)
+
+    def solve_row(i, carry):
+        u, v, p = carry  # u:[n+1] row potentials, v:[n+1] col potentials,
+        # p:[n+1] col->row assignment (p[0] = row being inserted)
+        p = p.at[0].set(i)
+        minv = jnp.full((n + 1,), INF, dtype=jnp.float32)
+        used = jnp.zeros((n + 1,), dtype=bool)
+        way = jnp.zeros((n + 1,), dtype=jnp.int32)
+        j0 = jnp.int32(0)
+
+        def dijkstra_cond(state):
+            u, v, p, minv, used, way, j0 = state
+            return p[j0] != 0
+
+        def dijkstra_body(state):
+            u, v, p, minv, used, way, j0 = state
+            used = used.at[j0].set(True)
+            i0 = p[j0]
+            # relax all unused columns j in 1..n
+            cur = a[i0, :] - u[i0] - v  # [n+1]
+            col_ids = jnp.arange(n + 1)
+            valid_col = (col_ids >= 1) & (~used)
+            better = valid_col & (cur < minv)
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
+            masked_minv = jnp.where(valid_col, minv, INF)
+            j1 = jnp.argmin(masked_minv).astype(jnp.int32)
+            delta = masked_minv[j1]
+            # update potentials
+            u = u.at[p].add(jnp.where(used, delta, 0.0))
+            v = jnp.where(used, v - delta, v)
+            minv = jnp.where(used, minv, minv - delta)
+            return (u, v, p, minv, used, way, j1)
+
+        # first iteration always runs (p[0] = i != 0)
+        state = (u, v, p, minv, used, way, j0)
+        u, v, p, minv, used, way, j0 = lax.while_loop(
+            dijkstra_cond, dijkstra_body, state
+        )
+
+        # walk the augmenting path back to the root
+        def aug_cond(state):
+            p, j0 = state
+            return j0 != 0
+
+        def aug_body(state):
+            p, j0 = state
+            j1 = way[j0]
+            p = p.at[j0].set(p[j1])
+            return (p, j1)
+
+        p, _ = lax.while_loop(aug_cond, aug_body, (p, j0))
+        return (u, v, p)
+
+    u0 = jnp.zeros((n + 1,), dtype=jnp.float32)
+    v0 = jnp.zeros((n + 1,), dtype=jnp.float32)
+    p0 = jnp.zeros((n + 1,), dtype=jnp.int32)
+    _, _, p = lax.fori_loop(1, n + 1, solve_row, (u0, v0, p0))
+    # p[j] = row (1-indexed) for column j (1-indexed); convert to 0-indexed
+    return p[1:].astype(jnp.int32) - 1
+
+
+batched_hungarian = jax.vmap(hungarian)
+
+
+class MatchResult(NamedTuple):
+    """Dense assignment between queries and targets for one batch.
+
+    All arrays have leading batch dims matching the inputs.
+    """
+
+    tgt_for_query: jnp.ndarray  # [.., Q] int32 target index per query (-1: none)
+    query_matched: jnp.ndarray  # [.., Q] bool, query has a real matched target
+    query_for_tgt: jnp.ndarray  # [.., M] int32 query index per target (-1: none)
+    tgt_matched: jnp.ndarray  # [.., M] bool, target got a query
+    coef: jnp.ndarray  # [.., Q] per-matched-query loss coefficient
+    num_boxes: jnp.ndarray  # [..] sum of coef over matched queries
+
+
+def compute_cost_matrix(
+    pred_logits: jnp.ndarray,  # [B, Q, C+1]
+    pred_boxes: jnp.ndarray,  # [B, Q, 2] (center, length), sigmoid space
+    tgt_labels: jnp.ndarray,  # [B, M] int32
+    tgt_boxes: jnp.ndarray,  # [B, M, 2]
+    tgt_valid: jnp.ndarray,  # [B, M] bool
+    cost_class: float,
+    cost_bbox: float,
+    cost_giou: float,
+    focal: bool = False,
+    alpha_fl: float = 0.5,
+    gamma_fl: float = 1.0,
+) -> jnp.ndarray:
+    """Build the [B, Q, M] matching cost (reference matcher.py:65-91)."""
+    if focal:
+        prob = jax.nn.sigmoid(pred_logits)  # [B, Q, C+1]
+        # focal matching cost (reference matcher.py:78-82)
+        neg = (1 - alpha_fl) * (prob**gamma_fl) * (-jnp.log1p(-prob + 1e-8))
+        pos = alpha_fl * ((1 - prob) ** gamma_fl) * (-jnp.log(prob + 1e-8))
+        cls_cost_full = pos - neg  # [B, Q, C+1]
+    else:
+        prob = jax.nn.softmax(pred_logits, axis=-1)
+        cls_cost_full = -prob
+    # gather per-target class cost: [B, Q, M]
+    cls_cost = jnp.take_along_axis(
+        cls_cost_full, tgt_labels[:, None, :].astype(jnp.int32), axis=-1
+    )
+
+    pred_se = box_ops.box_cl_to_se(pred_boxes)  # [B, Q, 2]
+    tgt_se = box_ops.box_cl_to_se(tgt_boxes)  # [B, M, 2]
+    l1 = box_ops.pairwise_l1_se(pred_se, tgt_se)  # [B, Q, M]
+    giou = box_ops.generalized_box_iou(pred_se, tgt_se)  # [B, Q, M]
+
+    cost = cost_bbox * l1 + cost_class * cls_cost + cost_giou * (-giou)
+    cost = jnp.clip(cost, -REAL_CLAMP, REAL_CLAMP)
+    # invalid targets -> dummy columns
+    cost = jnp.where(tgt_valid[:, None, :], cost, BIG)
+    return cost
+
+
+def _square_pad(cost: jnp.ndarray) -> jnp.ndarray:
+    """Pad a [B, Q, M] cost to square [B, N, N] with dummy cells at BIG."""
+    B, Q, M = cost.shape
+    n = max(Q, M)
+    out = jnp.full((B, n, n), BIG, dtype=cost.dtype)
+    return out.at[:, :Q, :M].set(cost)
+
+
+def assign(cost: jnp.ndarray, tgt_valid: jnp.ndarray) -> tuple:
+    """Solve the batched LSAP and decode real query<->target pairs.
+
+    Args:
+      cost: [B, Q, M] with invalid columns already at BIG.
+      tgt_valid: [B, M] bool.
+    Returns:
+      (tgt_for_query [B,Q] int32, query_matched [B,Q] bool,
+       query_for_tgt [B,M] int32, tgt_matched [B,M] bool)
+    """
+    B, Q, M = cost.shape
+    sq = _square_pad(cost)
+    row4col = batched_hungarian(sq)  # [B, N]
+    n = sq.shape[-1]
+
+    # column j (< M, valid) matched to row r (< Q) is a real pair
+    cols = row4col[:, :M]  # row per target column
+    tgt_matched = tgt_valid & (cols < Q)
+    query_for_tgt = jnp.where(tgt_matched, cols, -1).astype(jnp.int32)
+
+    # invert: per query, which target
+    tgt_for_query = jnp.full((B, Q), -1, dtype=jnp.int32)
+    b_ids = jnp.arange(B)[:, None]
+    q_safe = jnp.clip(query_for_tgt, 0, Q - 1)
+    m_ids = jnp.broadcast_to(jnp.arange(M)[None, :], (B, M))
+    updates = jnp.where(tgt_matched, m_ids, -1).astype(jnp.int32)
+    # scatter only matched targets (unmatched write -1 to a dummy row slot 0
+    # would clobber; use where-scatter via one-hot max instead)
+    onehot = (
+        jax.nn.one_hot(q_safe, Q, dtype=jnp.int32)
+        * tgt_matched[..., None].astype(jnp.int32)
+    )  # [B, M, Q]
+    # each query matched by at most one target; sum picks it out
+    tgt_idx_per_query = (onehot * (m_ids + 1)[..., None]).sum(axis=1)  # [B, Q]
+    query_matched = tgt_idx_per_query > 0
+    tgt_for_query = jnp.where(query_matched, tgt_idx_per_query - 1, -1).astype(
+        jnp.int32
+    )
+    return tgt_for_query, query_matched, query_for_tgt, tgt_matched
+
+
+def relaxed_assign(
+    cost_loc: jnp.ndarray,  # [B, Q, M] location-only cost (bbox+giou)
+    tgt_valid: jnp.ndarray,  # [B, M]
+    tgt_for_query: jnp.ndarray,
+    query_matched: jnp.ndarray,
+    epsilon: float,
+    alpha: float,
+    rng: jax.Array,
+) -> tuple:
+    """Second-stage relaxed matching for the fine-tune phase
+    (reference matcher.py:99-121).
+
+    Extra queries whose best location cost is below ``epsilon`` get matched to
+    their nearest ground-truth box; of those, each is kept with probability
+    ``alpha * num_gt / num_queries`` (the reference deletes indices where
+    ``rand > alpha * num_gt / num_queries``).
+    """
+    B, Q, M = cost_loc.shape
+    masked = jnp.where(tgt_valid[:, None, :], cost_loc, INF)
+    best_cost = masked.min(axis=-1)  # [B, Q]
+    nearest_tgt = masked.argmin(axis=-1).astype(jnp.int32)  # [B, Q]
+
+    num_gt = tgt_valid.sum(axis=-1).astype(jnp.float32)  # [B]
+    reserved = best_cost < epsilon  # [B, Q]
+    # Hungarian-matched queries stay matched only if themselves reserved
+    # (reference matcher.py:113-115); then are removed from the reserved pool.
+    keep_matched = query_matched & reserved
+    extra_pool = reserved & (~query_matched)
+    keep_prob = (alpha * num_gt / Q)[:, None]  # [B, 1]
+    rnd = jax.random.uniform(rng, (B, Q))
+    extra_kept = extra_pool & (rnd <= keep_prob)
+
+    new_matched = keep_matched | extra_kept
+    new_tgt = jnp.where(
+        keep_matched, tgt_for_query, jnp.where(extra_kept, nearest_tgt, -1)
+    ).astype(jnp.int32)
+    return new_tgt, new_matched
+
+
+def compute_coef(
+    tgt_for_query: jnp.ndarray,  # [B, Q]
+    query_matched: jnp.ndarray,  # [B, Q]
+    tgt_ratio: Optional[jnp.ndarray],  # [B, M] mixup per-target weight or None
+    normalize: bool,
+    M: int,
+) -> jnp.ndarray:
+    """Per-query loss coefficient (reference matcher.py:123-132)."""
+    B, Q = tgt_for_query.shape
+    t_safe = jnp.clip(tgt_for_query, 0, M - 1)
+    if normalize:
+        onehot = (
+            jax.nn.one_hot(t_safe, M) * query_matched[..., None]
+        )  # [B, Q, M]
+        counts = onehot.sum(axis=1)  # [B, M]
+        per_tgt = 1.0 / jnp.maximum(counts, 1.0)
+        coef = jnp.take_along_axis(per_tgt, t_safe, axis=-1)
+    elif tgt_ratio is not None:
+        coef = jnp.take_along_axis(tgt_ratio, t_safe, axis=-1)
+    else:
+        coef = jnp.ones((B, Q), dtype=jnp.float32)
+    return jnp.where(query_matched, coef, 0.0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cost_class",
+        "cost_bbox",
+        "cost_giou",
+        "focal",
+        "alpha_fl",
+        "gamma_fl",
+        "fine_tune",
+        "normalize",
+        "epsilon",
+        "alpha",
+    ),
+)
+def match(
+    pred_logits: jnp.ndarray,
+    pred_boxes: jnp.ndarray,
+    tgt_labels: jnp.ndarray,
+    tgt_boxes: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    tgt_ratio: Optional[jnp.ndarray] = None,
+    *,
+    cost_class: float = 1.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+    focal: bool = False,
+    alpha_fl: float = 0.5,
+    gamma_fl: float = 1.0,
+    fine_tune: bool = False,
+    normalize: bool = False,
+    epsilon: float = 0.0,
+    alpha: float = 100.0,
+    rng: Optional[jax.Array] = None,
+) -> MatchResult:
+    """Full matcher: cost build + LSAP (+ optional relaxed stage) + coef.
+
+    Drop-in semantic equivalent of ``HungarianMatcher.forward``
+    (reference matcher.py:41-133) over dense targets.
+    """
+    cost = compute_cost_matrix(
+        pred_logits,
+        pred_boxes,
+        tgt_labels,
+        tgt_boxes,
+        tgt_valid,
+        cost_class,
+        cost_bbox,
+        cost_giou,
+        focal,
+        alpha_fl,
+        gamma_fl,
+    )
+    tgt_for_query, query_matched, query_for_tgt, tgt_matched = assign(
+        cost, tgt_valid
+    )
+    if fine_tune:
+        pred_se = box_ops.box_cl_to_se(pred_boxes)
+        tgt_se = box_ops.box_cl_to_se(tgt_boxes)
+        cost_loc = cost_bbox * box_ops.pairwise_l1_se(pred_se, tgt_se) + cost_giou * (
+            -box_ops.generalized_box_iou(pred_se, tgt_se)
+        )
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        tgt_for_query, query_matched = relaxed_assign(
+            cost_loc, tgt_valid, tgt_for_query, query_matched, epsilon, alpha, rng
+        )
+
+    M = tgt_labels.shape[-1]
+    coef = compute_coef(tgt_for_query, query_matched, tgt_ratio, normalize, M)
+    num_boxes = coef.sum(axis=-1)
+    return MatchResult(
+        tgt_for_query=tgt_for_query,
+        query_matched=query_matched,
+        query_for_tgt=query_for_tgt,
+        tgt_matched=tgt_matched,
+        coef=coef,
+        num_boxes=num_boxes,
+    )
