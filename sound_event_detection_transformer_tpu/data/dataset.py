@@ -1,0 +1,270 @@
+"""DataFrame-backed dataset, multi-stream batch composition, async prefetch.
+
+Host-side re-design of /root/reference/data_utils/DataLoad.py:
+  * :class:`DataLoadDf` — per-clip feature loading (optional in-RAM cache,
+    DataLoad.py:96-104), label encoding, host transform, SP-SEDT patch
+    generation (DataLoad.py:57-77);
+  * :class:`ConcatDataset` + :class:`MultiStreamBatchSampler` — fixed
+    per-stream sub-batch layout (synthetic/weak/unlabel slices,
+    DataLoad.py:197-301) expressed as per-sample strong/weak/unlabel flags;
+  * :class:`Prefetcher` — a background collation thread + queue replacing the
+    CUDA-stream ``data_prefetcher`` (DataLoad.py:304-336); device transfer is
+    JAX's own async dispatch.
+
+Note on padding masks: the reference pads every clip to ``max_frames``
+*before* batching (PadOrTrunc), so its NestedTensor mask is all-False in
+practice; we therefore emit an all-False [B, T] mask but keep the plumbing for
+genuinely variable-length audio.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..engine import Batch
+from .encoder import to_dense_targets
+from .transforms import extract_patches, get_random_patch_boxes
+
+
+class DataLoadDf:
+    def __init__(
+        self,
+        df,
+        encode_function: Optional[Callable] = None,
+        transform: Optional[Callable] = None,
+        in_memory: bool = False,
+        num_patches: Optional[int] = None,
+        sigma: float = 0.26,
+        mu: float = 0.2,
+        fixed_patch_size: bool = False,
+        rng: Optional[np.random.RandomState] = None,
+    ):
+        self.df = df
+        self.encode_function = encode_function
+        self.transform = transform
+        self.in_memory = in_memory
+        self.num_patches = num_patches
+        self.sigma, self.mu = sigma, mu
+        self.fixed_patch_size = fixed_patch_size
+        self.rng = rng or np.random.RandomState()
+        self.feat_filenames = df.feature_filename.drop_duplicates()
+        self.filenames = df.filename.drop_duplicates()
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.feat_filenames)
+
+    def _features(self, path: str) -> np.ndarray:
+        if not self.in_memory:
+            return np.load(path).astype(np.float32)
+        if path not in self._cache:
+            self._cache[path] = np.load(path).astype(np.float32)
+        return self._cache[path]
+
+    def _raw_label(self, index: int):
+        fname = self.filenames.iloc[index]
+        if {"onset", "offset", "event_label"}.issubset(self.df.columns):
+            return self.df[self.df.filename == fname][
+                ["onset", "offset", "event_label"]
+            ]
+        if "event_labels" in self.df.columns:
+            v = self.df[self.df.filename == fname].event_labels.iloc[0]
+            if isinstance(v, str):
+                return v.split(",")
+            return []
+        return "empty"
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, Dict]:
+        data = self._features(self.feat_filenames.iloc[index])
+        if self.num_patches is not None:
+            boxes = get_random_patch_boxes(
+                data.shape[0], self.num_patches, self.mu, self.sigma,
+                self.fixed_patch_size, self.rng,
+            )
+            y = self.encode_function.__self__.encode_unlabel(boxes) if hasattr(
+                self.encode_function, "__self__"
+            ) else {"labels": np.zeros(len(boxes), np.int64), "boxes": boxes,
+                    "orig_size": np.asarray(10.0)}
+            y["boxes"] = boxes
+        else:
+            raw = self._raw_label(index)
+            if self.encode_function is not None:
+                y = self.encode_function(raw)
+            else:
+                y = {"labels": np.zeros((0,), np.int64),
+                     "boxes": np.zeros((0, 2), np.float32),
+                     "orig_size": np.asarray(10.0)}
+        if self.transform is not None:
+            data, y = self.transform((data, y))
+        if self.num_patches is not None:
+            y = dict(y)
+            y["patches"] = extract_patches(data, y["boxes"])
+        return data, y
+
+
+class ConcatDataset:
+    """Concatenation with per-source cluster indices (DataLoad.py:197-247)."""
+
+    def __init__(self, datasets: Sequence[DataLoadDf]):
+        assert datasets
+        self.datasets = list(datasets)
+        self.cumulative_sizes = np.cumsum([len(d) for d in datasets]).tolist()
+
+    @property
+    def cluster_indices(self) -> List[range]:
+        out, prev = [], 0
+        for size in self.cumulative_sizes:
+            out.append(range(prev, size))
+            prev = size
+        return out
+
+    def __len__(self):
+        return self.cumulative_sizes[-1]
+
+    def __getitem__(self, idx: int):
+        import bisect
+
+        d = bisect.bisect_right(self.cumulative_sizes, idx)
+        local = idx if d == 0 else idx - self.cumulative_sizes[d - 1]
+        return self.datasets[d][local]
+
+    @property
+    def filenames(self):
+        import pandas as pd
+
+        return pd.concat([d.filenames for d in self.datasets], ignore_index=True)
+
+
+class MultiStreamBatchSampler:
+    """Fixed sub-batch sizes drawn from each stream (DataLoad.py:250-293)."""
+
+    def __init__(self, data_source: ConcatDataset, batch_sizes: Sequence[int],
+                 shuffle: bool = True, seed: Optional[int] = None):
+        self.data_source = data_source
+        self.batch_sizes = list(batch_sizes)
+        assert len(self.batch_sizes) == len(data_source.cluster_indices)
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+
+    def __iter__(self) -> Iterator[List[int]]:
+        clusters = [np.array(list(c)) for c in self.data_source.cluster_indices]
+        if self.shuffle:
+            clusters = [self.rng.permutation(c) for c in clusters]
+        n = len(self)
+        for b in range(n):
+            batch: List[int] = []
+            for c, bs in zip(clusters, self.batch_sizes):
+                batch.extend(c[b * bs : (b + 1) * bs].tolist())
+            yield batch
+
+    def __len__(self) -> int:
+        return min(
+            len(c) // bs
+            for c, bs in zip(self.data_source.cluster_indices, self.batch_sizes)
+        )
+
+
+def collate(
+    samples: Sequence[Tuple[np.ndarray, Dict]],
+    max_events: int,
+    seconds: float,
+    unlabel_flags: Optional[np.ndarray] = None,
+    indexes: Optional[Sequence[int]] = None,
+) -> Batch:
+    """Samples -> dense :class:`engine.Batch` (replaces collate_fn /
+    NestedTensor, reference utils.py:440-560)."""
+    feats = np.stack([s[0] for s in samples]).astype(np.float32)[..., None]
+    targets, strong, weak = to_dense_targets(
+        [s[1] for s in samples], max_events, seconds
+    )
+    if unlabel_flags is not None:
+        strong = strong & ~unlabel_flags
+        weak = weak & ~unlabel_flags
+    pad_mask = np.zeros(feats.shape[:2], dtype=bool)
+    patches = None
+    if "patches" in samples[0][1]:
+        patches = np.stack([s[1]["patches"] for s in samples]).astype(np.float32)[
+            ..., None
+        ]
+    idx = np.asarray(indexes, np.int32) if indexes is not None else None
+    return Batch(
+        feats=feats, pad_mask=pad_mask, targets=targets,
+        strong=strong, weak=weak, patches=patches, indexes=idx,
+    )
+
+
+class Prefetcher:
+    """Background-thread batch producer (replaces data_prefetcher,
+    DataLoad.py:304-336)."""
+
+    def __init__(self, make_iter: Callable[[], Iterator], depth: int = 2):
+        self.make_iter = make_iter
+        self.depth = depth
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = object()
+
+        def worker():
+            try:
+                for item in self.make_iter():
+                    q.put(item)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def batch_iterator(
+    dataset,
+    sampler_or_batchsize,
+    max_events: int,
+    seconds: float,
+    unlabel_streams: Optional[Sequence[int]] = None,
+    return_indexes: bool = False,
+    prefetch: bool = True,
+) -> Iterator[Batch]:
+    """Compose sampler + collate (+ prefetch thread) into a Batch stream."""
+
+    def gen():
+        if isinstance(sampler_or_batchsize, int):
+            n = len(dataset)
+            bs = sampler_or_batchsize
+            index_batches = [
+                list(range(i, min(i + bs, n))) for i in range(0, n, bs)
+            ]
+            index_batches = [b for b in index_batches if len(b) == bs or True]
+        else:
+            index_batches = sampler_or_batchsize
+        cluster_of = None
+        if unlabel_streams and hasattr(dataset, "cumulative_sizes"):
+            bounds = [0] + list(dataset.cumulative_sizes)
+
+            def cluster_of(i):
+                for k in range(len(bounds) - 1):
+                    if bounds[k] <= i < bounds[k + 1]:
+                        return k
+                return -1
+
+        for idxs in index_batches:
+            samples = [dataset[i] for i in idxs]
+            uflags = None
+            if cluster_of is not None:
+                uflags = np.array(
+                    [cluster_of(i) in unlabel_streams for i in idxs]
+                )
+            yield collate(
+                samples, max_events, seconds, uflags,
+                idxs if return_indexes else None,
+            )
+
+    return iter(Prefetcher(gen)) if prefetch else gen()

@@ -1,0 +1,223 @@
+"""Polyphonic Sound Detection Score (PSDS) — native implementation.
+
+The reference wraps the external ``psds_eval`` package
+(/root/reference/utilities/metrics.py:120-144,325-330).  This module
+implements the published PSDS definitions (Bilen et al., ICASSP 2020)
+directly:
+
+  * DTC: a detection is valid when its total intersection with same-class
+    ground truths covers >= dtc_threshold of the detection's duration;
+  * GTC: a ground truth counts as TP when DTC-valid detections cover
+    >= gtc_threshold of its duration;
+  * invalid detections are FPs; a FP cross-triggers class k when it overlaps
+    k's ground truth by >= cttc_threshold of its duration;
+  * per class and operating point: TPR = TP / Nref,
+    FPR = FPs per hour of dataset audio, CTR_{c,k} = cross-triggers per hour
+    of class-k ground-truth duration;
+  * PSDS(alpha_ct, alpha_st, max_efpr): monotone per-class TPR staircases over
+    eFPR = FPR + alpha_ct * mean CTR, effective TPR
+    mu(e) = mean_c - alpha_st * std_c, area under mu up to max_efpr divided by
+    max_efpr.
+
+Numbers may differ from ``psds_eval`` in tie-handling minutiae but follow the
+same definitions.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class PSDSResult:
+    value: float
+    alpha_ct: float
+    alpha_st: float
+    max_efpr: float
+    efpr_grid: np.ndarray
+    etpr_curve: np.ndarray
+
+
+def _intersection(a_on, a_off, b_on, b_off) -> float:
+    return max(0.0, min(a_off, b_off) - max(a_on, b_on))
+
+
+class PSDSEval:
+    def __init__(
+        self,
+        dtc_threshold: float = 0.5,
+        gtc_threshold: float = 0.5,
+        cttc_threshold: float = 0.3,
+        ground_truth=None,
+        metadata=None,
+    ):
+        self.dtc = dtc_threshold
+        self.gtc = gtc_threshold
+        self.cttc = cttc_threshold
+        self.gt = ground_truth
+        self.metadata = metadata
+        self.classes = sorted(ground_truth.event_label.dropna().unique())
+        if metadata is not None and "duration" in metadata.columns:
+            self.total_hours = metadata.duration.sum() / 3600.0
+        else:
+            # fall back: one clip = max offset (10 s clips in practice)
+            per_file = ground_truth.groupby("filename").offset.max()
+            self.total_hours = float(per_file.clip(lower=10.0).sum()) / 3600.0
+        self.gt_hours_per_class = {
+            c: float(
+                (ground_truth[ground_truth.event_label == c].offset
+                 - ground_truth[ground_truth.event_label == c].onset).sum()
+            ) / 3600.0
+            for c in self.classes
+        }
+        self.operating_points: List[Dict] = []
+
+    def _evaluate_op(self, detections) -> Dict:
+        tpr = {}
+        fpr = {}
+        ctr = {c: {k: 0.0 for k in self.classes if k != c} for c in self.classes}
+        gt_by_file = {
+            f: df for f, df in self.gt.groupby("filename")
+        }
+        det_by_file = (
+            {f: df for f, df in detections.groupby("filename")}
+            if len(detections)
+            else {}
+        )
+        tp_count = {c: 0 for c in self.classes}
+        fp_count = {c: 0 for c in self.classes}
+        nref = {
+            c: int((self.gt.event_label == c).sum()) for c in self.classes
+        }
+        for fname, gdf in gt_by_file.items():
+            ddf = det_by_file.get(fname)
+            for c in self.classes:
+                g = gdf[gdf.event_label == c][["onset", "offset"]].values
+                d = (
+                    ddf[ddf.event_label == c][["onset", "offset"]].values
+                    if ddf is not None
+                    else np.zeros((0, 2))
+                )
+                # DTC per detection
+                valid = np.zeros(len(d), bool)
+                for i, (don, doff) in enumerate(d):
+                    dur = max(doff - don, 1e-9)
+                    inter = sum(_intersection(don, doff, gon, goff) for gon, goff in g)
+                    valid[i] = inter / dur >= self.dtc
+                # GTC per ground truth
+                for gon, goff in g:
+                    gdur = max(goff - gon, 1e-9)
+                    inter = sum(
+                        _intersection(don, doff, gon, goff)
+                        for (don, doff), v in zip(d, valid)
+                        if v
+                    )
+                    if inter / gdur >= self.gtc:
+                        tp_count[c] += 1
+                # FPs + cross-triggers
+                for (don, doff), v in zip(d, valid):
+                    if v:
+                        continue
+                    fp_count[c] += 1
+                    dur = max(doff - don, 1e-9)
+                    for k in self.classes:
+                        if k == c:
+                            continue
+                        gk = gdf[gdf.event_label == k][["onset", "offset"]].values
+                        inter = sum(
+                            _intersection(don, doff, gon, goff) for gon, goff in gk
+                        )
+                        if inter / dur >= self.cttc:
+                            ctr[c][k] += 1.0
+        for c in self.classes:
+            tpr[c] = tp_count[c] / nref[c] if nref[c] else 0.0
+            fpr[c] = fp_count[c] / max(self.total_hours, 1e-9)
+            for k in ctr[c]:
+                ctr[c][k] /= max(self.gt_hours_per_class.get(k, 0.0), 1e-9)
+        return {"tpr": tpr, "fpr": fpr, "ctr": ctr}
+
+    def add_operating_point(self, detections) -> None:
+        self.operating_points.append(self._evaluate_op(detections))
+
+    def psds(
+        self, alpha_ct: float = 0.0, alpha_st: float = 0.0, max_efpr: float = 100.0
+    ) -> PSDSResult:
+        assert self.operating_points, "no operating points added"
+        # per-class (efpr, tpr) points
+        curves = {}
+        for c in self.classes:
+            pts = [(0.0, 0.0)]
+            for op in self.operating_points:
+                e = op["fpr"][c]
+                if alpha_ct > 0 and op["ctr"][c]:
+                    e = e + alpha_ct * float(np.mean(list(op["ctr"][c].values())))
+                pts.append((e, op["tpr"][c]))
+            pts.sort()
+            # monotone non-decreasing TPR envelope
+            xs, ys = [], []
+            best = 0.0
+            for e, t in pts:
+                best = max(best, t)
+                xs.append(e)
+                ys.append(best)
+            curves[c] = (np.array(xs), np.array(ys))
+
+        grid = np.unique(
+            np.concatenate(
+                [xs for xs, _ in curves.values()] + [np.array([0.0, max_efpr])]
+            )
+        )
+        grid = grid[grid <= max_efpr]
+        tprs = np.stack(
+            [
+                np.interp(grid, xs, ys, left=0.0, right=ys[-1] if len(ys) else 0.0)
+                for xs, ys in curves.values()
+            ]
+        )  # step interp approximated linearly-right; use previous-point semantics
+        # previous-value (staircase) interpolation:
+        tprs = np.stack(
+            [
+                ys[np.clip(np.searchsorted(xs, grid, side="right") - 1, 0, len(ys) - 1)]
+                for xs, ys in curves.values()
+            ]
+        )
+        mu = tprs.mean(axis=0) - alpha_st * tprs.std(axis=0)
+        mu = np.clip(mu, 0.0, None)
+        if len(grid) < 2:
+            value = 0.0
+        else:
+            # extend to max_efpr and integrate the staircase
+            area = float(
+                np.sum(mu[:-1] * np.diff(grid)) + mu[-1] * (max_efpr - grid[-1])
+            )
+            value = area / max_efpr
+        return PSDSResult(value, alpha_ct, alpha_st, max_efpr, grid, mu)
+
+    def compute_macro_f_score(self, detections):
+        """Single-OP DTC/GTC-based macro F1 (psds_eval API parity)."""
+        op = self._evaluate_op(detections)
+        fs = []
+        per_class = {}
+        for c in self.classes:
+            nref = int((self.gt.event_label == c).sum())
+            tp = op["tpr"][c] * nref
+            nsys = int((detections.event_label == c).sum()) if len(detections) else 0
+            fp = nsys - tp
+            denom = 2 * tp + fp + (nref - tp)
+            f = 2 * tp / denom if denom > 0 else 0.0
+            per_class[c] = f
+            fs.append(f)
+        return float(np.mean(fs)) if fs else 0.0, per_class
+
+
+def psds_score(psds: PSDSEval, filename_roc_curves: Optional[str] = None):
+    """Print the three standard PSDS scores (reference metrics.py:120-144)."""
+    try:
+        for a_ct, a_st in ((0, 0), (1, 0), (0, 1)):
+            res = psds.psds(alpha_ct=a_ct, alpha_st=a_st, max_efpr=100)
+            print(f"\nPSD-Score ({a_ct}, {a_st}, 100): {res.value:.5f}")
+    except Exception as e:  # pragma: no cover
+        print("psds score did not work ....")
+        print(e)

@@ -1,0 +1,213 @@
+"""ResNet backbones with frozen batch norm, NHWC / TPU-native.
+
+Re-designs the reference backbone (/root/reference/sedt/backbone.py:17-141):
+  * ``conv0``: a trainable 1x1 conv lifting the 1-channel spectrogram to the
+    3-channel stem (backbone.py:102).
+  * FrozenBatchNorm: affine+stats folded to a per-channel scale/offset
+    (backbone.py:43-53); stored in the ``frozen`` variable collection so they
+    are constants to the optimizer — the JAX analogue of torch buffers.
+  * optional dilation in the last stage (replace stride with dilation,
+    backbone.py:99), giving ~16x rather than ~32x time downsampling.
+  * freeze policy (stem + layer1 frozen; conv0/layer2/3/4 trainable,
+    backbone.py:61) is implemented in the optimizer mask
+    (``parallel/optim.py``), not by mutating modules.
+
+Layout is NHWC (TPU conv-native): input [B, T, F, 1]; output [B, T', F', C].
+Weights can be imported from a torchvision ``resnet*.pth`` state_dict via
+``models/torch_import.py`` to reproduce the reference's ImageNet init.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+BN_EPS = 1e-5
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics and affine parameters.
+
+    Variables live in the ``frozen`` collection: (scale, bias, mean, var),
+    matching the reference buffers (backbone.py:26-31).  Forward folds them
+    into one multiply-add (backbone.py:43-53).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.variable(
+            "frozen", "scale", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        bias = self.variable(
+            "frozen", "bias", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        mean = self.variable(
+            "frozen", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        var = self.variable(
+            "frozen", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        w = scale.value * jnp.reciprocal(jnp.sqrt(var.value + BN_EPS))
+        b = bias.value - mean.value * w
+        return x * w.astype(x.dtype) + b.astype(x.dtype)
+
+
+def _conv(
+    features: int,
+    kernel: int,
+    stride: int = 1,
+    dilation: int = 1,
+    name: str = None,
+    use_bias: bool = False,
+) -> nn.Conv:
+    pad = dilation * (kernel - 1) // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        kernel_dilation=(dilation, dilation),
+        use_bias=use_bias,
+        name=name,
+        kernel_init=nn.initializers.he_normal(),
+    )
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck: 1x1 -> 3x3(stride, dilation) -> 1x1(x4)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = _conv(self.planes, 1, name="conv1")(x)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv2")(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes * 4, 1, name="conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+        if self.downsample:
+            sc = _conv(self.planes * 4, 1, self.stride, name="downsample_conv")(x)
+            sc = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(sc)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock (resnet18/34): 3x3 -> 3x3."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv1")(x)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, 1, self.dilation, name="conv2")(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        if self.downsample:
+            sc = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
+            sc = FrozenBatchNorm(self.planes, name="downsample_bn")(sc)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+_ARCHS = {
+    # name: (block, blocks_per_stage, expansion)
+    "resnet18": (BasicBlock, (2, 2, 2, 2), 1),
+    "resnet34": (BasicBlock, (3, 4, 6, 3), 1),
+    "resnet50": (Bottleneck, (3, 4, 6, 3), 4),
+    "resnet101": (Bottleneck, (3, 4, 23, 3), 4),
+}
+
+
+def num_backbone_channels(name: str) -> int:
+    _, _, exp = _ARCHS[name]
+    return 512 * exp
+
+
+class ResNetBackbone(nn.Module):
+    """conv0 + torch-layout ResNet trunk, tapping layer4.
+
+    [B, T, F, 1] -> [B, ceil(T/16 or /32), ceil(F/16 or /32), num_channels]
+    (stride 16 with ``dilation=True``, reference DC5 mode).
+    """
+
+    arch: str = "resnet50"
+    dilation: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        block, stages, _ = _ARCHS[self.arch]
+        # conv0: 1 -> 3 channels, 1x1, with bias (torch Conv2d default)
+        x = nn.Conv(3, (1, 1), use_bias=True, name="conv0")(x)
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            use_bias=False,
+            name="conv1",
+            kernel_init=nn.initializers.he_normal(),
+        )(x)
+        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        planes = (64, 128, 256, 512)
+        strides = (1, 2, 2, 1 if self.dilation else 2)
+        dilations = (1, 1, 1, 2 if self.dilation else 1)
+        for li, (n_blocks, p, s, d) in enumerate(
+            zip(stages, planes, strides, dilations)
+        ):
+            for bi in range(n_blocks):
+                x = block(
+                    planes=p,
+                    stride=s if bi == 0 else 1,
+                    # torchvision applies the new dilation from the stage's
+                    # *first* block when replace_stride_with_dilation is set
+                    # (previous_dilation semantics): first block uses the old
+                    # dilation (1) for its 3x3, later blocks use d.
+                    dilation=1 if (bi == 0 and d > 1) else d,
+                    downsample=(bi == 0 and (s != 1 or li > 0 or block is Bottleneck)),
+                    name=f"layer{li + 1}_{bi}",
+                )(x)
+        return x
+
+
+class AudioTagBackbone(nn.Module):
+    """Clip-tagging model: ResNet -> global pool -> MLP 2048->1000->C -> sigmoid.
+
+    Re-implements /root/reference/audio_tag/backbone.py:13-70; used to
+    initialize the SP-SEDT backbone (train_spsedt.py:133-142).
+    """
+
+    arch: str = "resnet50"
+    dilation: bool = True
+    pooling: str = "max"  # 'max' | 'avg'
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        feats = ResNetBackbone(self.arch, self.dilation, name="backbone")(x)
+        if self.pooling == "max":
+            pooled = feats.max(axis=(1, 2))
+        else:
+            pooled = feats.mean(axis=(1, 2))
+        h = nn.Dense(1000, name="fc1")(pooled)
+        h = nn.relu(h)
+        h = nn.Dense(self.num_classes, name="fc2")(h)
+        return nn.sigmoid(h)

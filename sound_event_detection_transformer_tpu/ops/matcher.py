@@ -284,21 +284,6 @@ def compute_coef(
     return jnp.where(query_matched, coef, 0.0)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "cost_class",
-        "cost_bbox",
-        "cost_giou",
-        "focal",
-        "alpha_fl",
-        "gamma_fl",
-        "fine_tune",
-        "normalize",
-        "epsilon",
-        "alpha",
-    ),
-)
 def match(
     pred_logits: jnp.ndarray,
     pred_boxes: jnp.ndarray,

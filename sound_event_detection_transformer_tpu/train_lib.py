@@ -1,0 +1,572 @@
+"""Training orchestration shared by the CLI entry points.
+
+Mirrors the flow of /root/reference/train_sedt.py (data assembly, scaler,
+model build, pretrain/resume surgery, two-stage schedule, SaveBest /
+EarlyStopping, final test) on top of the jitted engine.  Also provides the
+synthetic-smoke path used when no real dataset is mounted (this environment,
+tests, bench).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import os.path as osp
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as C
+from .config import SEDTConfig
+from .data.dataset import (
+    ConcatDataset,
+    DataLoadDf,
+    MultiStreamBatchSampler,
+    batch_iterator,
+)
+from .data.encoder import BoxEncoder
+from .data.scaler import Scaler
+from .data.synthetic import SyntheticDataset
+from .data.transforms import get_transforms
+from .engine import (
+    Batch,
+    TrainState,
+    make_eval_step,
+    make_train_step,
+)
+from .metrics import audio_tagging_results, compute_metrics
+from .models import build_model
+from .parallel.mesh import make_mesh, shard_batch_pytree
+from .parallel.optim import make_optimizer
+from .utils.checkpoint import (
+    EarlyStopping,
+    SaveBest,
+    load_checkpoint,
+    load_pretrain_into,
+    save_checkpoint,
+)
+from .utils.logger import create_logger, set_logger
+
+
+def get_parser() -> argparse.ArgumentParser:
+    """Full reference flag surface (train_sedt.py:28-129) plus SP-SEDT /
+    semi-supervised extensions and the synthetic smoke switch."""
+    p = argparse.ArgumentParser(description="TPU-native SEDT")
+    # dataset
+    p.add_argument("--num_classes", default=10, type=int)
+    p.add_argument("--dataname", default="dcase", choices=["urbansed", "dcase"])
+    p.add_argument("--synthetic", action="store_true", default=True)
+    p.add_argument("--weak", action="store_false", default=True)
+    p.add_argument("--synthetic_smoke", action="store_true", default=False,
+                   help="run on generated synthetic data (no dataset needed)")
+    p.add_argument("--smoke_clips", default=64, type=int)
+    p.add_argument("--data_root", default="./data", type=str)
+    p.add_argument("--nb_files", default=None, type=int)
+    # train
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--lr_backbone", default=1e-4, type=float)
+    p.add_argument("--batch_size", default=64, type=int)
+    p.add_argument("--n_weak", default=16, type=int)
+    p.add_argument("--accumrating_gradient_steps", default=1, type=int)
+    p.add_argument("--adjust_lr", action="store_false", default=True)
+    p.add_argument("--weight_decay", default=1e-4, type=float)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--epochs", default=400, type=int)
+    p.add_argument("--epochs_ls", default=400, type=int)
+    p.add_argument("--checkpoint_epochs", default=0, type=int)
+    p.add_argument("--lr_drop", default=200, type=int)
+    p.add_argument("--fine_tune", action="store_true", default=False)
+    p.add_argument("--normalize", action="store_true", default=False)
+    p.add_argument("--clip_max_norm", default=0.1, type=float)
+    p.add_argument("--seed", default=2020, type=int)
+    # augment
+    p.add_argument("--mix_up_ratio", type=float, default=0)
+    p.add_argument("--time_mask", action="store_true", default=False)
+    p.add_argument("--freq_mask", action="store_true", default=False)
+    p.add_argument("--freq_shift", action="store_true", default=False)
+    # model
+    p.add_argument("--self_sup", dest="self_sup", action="store_true")
+    p.add_argument("--pretrain", default="")
+    p.add_argument("--resume", default="")
+    p.add_argument("--dec_at", action="store_true", default=False)
+    p.add_argument("--fusion_strategy", default=[1], nargs="+", type=int)
+    p.add_argument("--pooling", type=str, default=None,
+                   choices=("max", "avg", "attn", "weighted_sum"))
+    p.add_argument("--backbone", default="resnet50", type=str)
+    p.add_argument("--dilation", action="store_false", default=True)
+    p.add_argument("--position_embedding", default="sine", type=str,
+                   choices=("sine", "learned"))
+    p.add_argument("--enc_layers", default=3, type=int)
+    p.add_argument("--dec_layers", default=3, type=int)
+    p.add_argument("--dim_feedforward", default=2048, type=int)
+    p.add_argument("--hidden_dim", default=256, type=int)
+    p.add_argument("--dropout", default=0.1, type=float)
+    p.add_argument("--nheads", default=8, type=int)
+    p.add_argument("--num_queries", default=20, type=int)
+    p.add_argument("--pre_norm", action="store_false", default=True)
+    # SP-SEDT
+    p.add_argument("--feature_recon", action="store_true", default=False)
+    p.add_argument("--query_shuffle", action="store_true", default=False)
+    p.add_argument("--num_patches", default=10, type=int)
+    p.add_argument("--fixed_patch_size", action="store_true", default=False)
+    # loss
+    p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false")
+    p.add_argument("--set_cost_class", default=1, type=float)
+    p.add_argument("--set_cost_bbox", default=5, type=float)
+    p.add_argument("--set_cost_giou", default=2, type=float)
+    p.add_argument("--epsilon", default=1, type=float)
+    p.add_argument("--alpha", default=1, type=float)
+    p.add_argument("--bbox_loss_coef", default=5, type=float)
+    p.add_argument("--giou_loss_coef", default=2, type=float)
+    p.add_argument("--eos_coef", default=0.1, type=float)
+    p.add_argument("--weak_loss_coef", default=1, type=float)
+    p.add_argument("--weak_loss_p_coef", default=1, type=float)
+    p.add_argument("--ce_loss_coef", default=1, type=float)
+    # semi-supervised
+    p.add_argument("--focal_loss", action="store_true", default=False)
+    p.add_argument("--ema_decay", default=0.9996, type=float)
+    p.add_argument("--accumlating_ema_steps", default=1, type=int)
+    p.add_argument("--teacher_model", default="")
+    # misc
+    p.add_argument("--info", default=None, type=str)
+    p.add_argument("--back_up", action="store_true", default=False)
+    p.add_argument("--log", action="store_false", default=True)
+    p.add_argument("--exp_root", default="./exp", type=str)
+    return p
+
+
+def args_to_config(args) -> SEDTConfig:
+    if args.dataname == "urbansed":
+        feats = C.FeatureConfig.urbansed()
+        classes = C.URBAN_CLASSES
+        max_frames = feats.urban_max_frames
+        num_queries = args.num_queries if args.num_queries != 20 else 10
+    else:
+        feats = C.FeatureConfig.dcase()
+        classes = C.DCASE_CLASSES
+        max_frames = feats.max_frames
+        num_queries = 20  # dataset override (train_sedt.py:151-152)
+    if args.synthetic_smoke:
+        # small geometry for smoke runs
+        max_frames = 128
+        feats = dataclasses.replace(feats, n_mels=64)
+    model = C.ModelConfig(
+        backbone=args.backbone,
+        dilation=args.dilation,
+        position_embedding=args.position_embedding,
+        hidden_dim=args.hidden_dim,
+        nheads=args.nheads,
+        dim_feedforward=args.dim_feedforward,
+        enc_layers=args.enc_layers,
+        dec_layers=args.dec_layers,
+        dropout=args.dropout,
+        pre_norm=args.pre_norm,
+        num_classes=args.num_classes,
+        num_queries=num_queries,
+        aux_loss=args.aux_loss,
+        dec_at=args.dec_at,
+        pooling=args.pooling,
+        self_sup=args.self_sup,
+        feature_recon=args.feature_recon,
+        query_shuffle=args.query_shuffle,
+        num_patches=args.num_patches,
+        max_frames=max_frames,
+        n_mels=feats.n_mels,
+    )
+    loss = C.LossConfig(
+        set_cost_class=args.set_cost_class,
+        set_cost_bbox=args.set_cost_bbox,
+        set_cost_giou=args.set_cost_giou,
+        ce_loss_coef=args.ce_loss_coef,
+        bbox_loss_coef=args.bbox_loss_coef,
+        giou_loss_coef=args.giou_loss_coef,
+        weak_loss_coef=args.weak_loss_coef,
+        weak_loss_p_coef=args.weak_loss_p_coef,
+        eos_coef=args.eos_coef,
+        epsilon=args.epsilon,
+        alpha=args.alpha,
+    )
+    data = C.DataConfig(
+        dataset_name=args.dataname,
+        root=args.data_root,
+        exp_root=args.exp_root,
+        classes=classes[: args.num_classes],
+        batch_size=args.batch_size,
+        n_weak=args.n_weak,
+        nb_files=args.nb_files,
+    )
+    aug = C.AugmentConfig(
+        mix_up_ratio=args.mix_up_ratio,
+        time_mask=args.time_mask,
+        freq_mask=args.freq_mask,
+        freq_shift=args.freq_shift,
+    )
+    train = C.TrainConfig(
+        lr=args.lr,
+        lr_backbone=args.lr_backbone,
+        weight_decay=args.weight_decay,
+        epochs=args.epochs,
+        epochs_ls=args.epochs_ls,
+        lr_drop=args.lr_drop,
+        clip_max_norm=args.clip_max_norm,
+        accumulating_gradient_steps=args.accumrating_gradient_steps,
+        accumlating_ema_steps=args.accumlating_ema_steps,
+        ema_decay=args.ema_decay,
+        seed=args.seed,
+        checkpoint_epochs=args.checkpoint_epochs or None,
+        fusion_strategy=tuple(args.fusion_strategy),
+        fine_tune=args.fine_tune,
+        normalize=args.normalize,
+        focal_loss=args.focal_loss,
+        info=args.info or f"{args.dataname}_sedt",
+    )
+    return SEDTConfig(
+        features=feats, model=model, loss=loss, data=data, augment=aug, train=train
+    )
+
+
+# ---------------------------------------------------------------------------
+# data assembly
+# ---------------------------------------------------------------------------
+
+
+def build_synthetic_data(cfg: SEDTConfig, args) -> Dict:
+    """Synthetic train/validation datasets + encoder (smoke path)."""
+    classes = list(cfg.data.classes)
+    enc = BoxEncoder(classes, seconds=cfg.features.max_len_seconds)
+    frames, mels = cfg.model.max_frames, cfg.model.n_mels
+    num_patches = cfg.model.num_patches if cfg.model.self_sup else None
+    mk = lambda n, seed, **kw: SyntheticDataset(
+        n, classes, frames, mels, enc.encode_strong_df,
+        max_events=min(3, cfg.model.max_events),
+        seconds=cfg.features.max_len_seconds, seed=seed,
+        num_patches=num_patches, **kw,
+    )
+    train = mk(args.smoke_clips, 0)
+    valid = mk(max(8, args.smoke_clips // 4), 1)
+    return {
+        "train": train,
+        "validation": valid,
+        "eval": valid,
+        "encoder": enc,
+        "ref_valid": valid.ref_df(),
+        "ref_eval": valid.ref_df(),
+    }
+
+
+def build_real_data(cfg: SEDTConfig, args) -> Dict:
+    """TSV-backed datasets (reference train_sedt.py:163-224)."""
+    from .data.features import SedData, get_dfs
+
+    root = osp.join(cfg.data.root, cfg.data.dataset_name)
+    ds = SedData(cfg.data.dataset_name, base_feature_dir=osp.join(root, "features"),
+                 compute_log=False)
+    if cfg.data.dataset_name == "urbansed":
+        paths = {
+            "train": osp.join(root, "metadata", "train.tsv"),
+            "validation": osp.join(root, "metadata", "validate.tsv"),
+            "eval": osp.join(root, "metadata", "test.tsv"),
+        }
+    else:
+        paths = {
+            "weak": osp.join(root, "metadata", "train", "weak.tsv"),
+            "synthetic": osp.join(
+                root, "metadata", "train", "synthetic_2019", "soundscapes.tsv"
+            ),
+            "validation": osp.join(root, "metadata", "validation", "validation.tsv"),
+            "eval": osp.join(root, "metadata", "eval", "public.tsv"),
+        }
+    dfs = get_dfs(ds, paths, nb_files=cfg.data.nb_files)
+    enc = BoxEncoder(list(cfg.data.classes), seconds=cfg.features.max_len_seconds)
+
+    scaler = Scaler()
+    scaler_path = osp.join(cfg.data.exp_root, cfg.data.dataset_name + ".json")
+    base_tf = get_transforms(cfg.model.max_frames, None, compute_log=True)
+    if cfg.data.dataset_name == "urbansed":
+        pre = DataLoadDf(dfs["train"], enc.encode_strong_df, base_tf)
+    else:
+        pre = ConcatDataset([
+            DataLoadDf(dfs["weak"], enc.encode_strong_df, base_tf),
+            DataLoadDf(dfs["synthetic"], enc.encode_strong_df, base_tf),
+        ])
+    if osp.isfile(scaler_path):
+        scaler.load(scaler_path)
+    else:
+        scaler.calculate_scaler(pre)
+        os.makedirs(osp.dirname(scaler_path), exist_ok=True)
+        scaler.save(scaler_path)
+
+    tf = get_transforms(cfg.model.max_frames, scaler, compute_log=True)
+    out = {"encoder": enc, "scaler": scaler}
+    if cfg.data.dataset_name == "urbansed":
+        out["train"] = DataLoadDf(
+            dfs["train"], enc.encode_strong_df, tf, in_memory=cfg.data.in_memory
+        )
+        out["validation"] = DataLoadDf(dfs["validation"], enc.encode_strong_df, tf)
+        out["eval"] = DataLoadDf(dfs["eval"], enc.encode_strong_df, tf)
+        out["ref_valid"] = dfs["validation"].drop("feature_filename", axis=1)
+        out["ref_eval"] = dfs["eval"].drop("feature_filename", axis=1)
+    else:
+        out["train"] = ConcatDataset([
+            DataLoadDf(dfs["synthetic"], enc.encode_strong_df, tf,
+                       in_memory=cfg.data.in_memory),
+            DataLoadDf(dfs["weak"], enc.encode_strong_df, tf,
+                       in_memory=cfg.data.in_memory),
+        ])
+        out["validation"] = DataLoadDf(dfs["validation"], enc.encode_strong_df, tf)
+        out["eval"] = DataLoadDf(dfs["eval"], enc.encode_strong_df, tf)
+        out["ref_valid"] = dfs["validation"].drop("feature_filename", axis=1)
+        out["ref_eval"] = dfs["eval"].drop("feature_filename", axis=1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# evaluation loop
+# ---------------------------------------------------------------------------
+
+
+def evaluate(
+    eval_step,
+    state: TrainState,
+    dataset,
+    cfg: SEDTConfig,
+    decoder: BoxEncoder,
+    ref_df,
+    fusion_strategy: Sequence[int],
+    at: bool = True,
+    cal_seg: bool = False,
+    cal_clip: bool = False,
+    batch_size: Optional[int] = None,
+) -> Dict[int, float]:
+    """Full eval: jitted forward+postprocess, host decode, native metrics
+    (reference engine.py:199-297)."""
+    import pandas as pd
+
+    log = create_logger(__name__ + "/evaluate")
+    bs = batch_size or cfg.data.batch_size
+    audio_tag_rows = []
+    dec_rows: Dict[int, List] = {m: [] for m in fusion_strategy}
+    filenames = dataset.filenames
+    t0 = time.time()
+    for batch in batch_iterator(
+        dataset, bs, cfg.model.max_events, cfg.features.max_len_seconds,
+        return_indexes=True, prefetch=True,
+    ):
+        res = eval_step(state.params, state.frozen, batch)
+        idxs = np.asarray(batch.indexes)
+        if at and "at" in res:
+            tags = np.asarray(res["at"]) > 0.5
+            for j, row in enumerate(tags):
+                for lbl in decoder.decode_weak(row.astype(int)):
+                    audio_tag_rows.append(
+                        dict(filename=filenames.iloc[idxs[j]], event_label=lbl,
+                             onset=0, offset=0)
+                    )
+        for m in fusion_strategy:
+            pp = res[f"pp_{m}"]
+            scores = np.asarray(pp.scores)
+            labels = np.asarray(pp.labels)
+            boxes = np.asarray(pp.boxes)
+            for j in range(len(idxs)):
+                pred = decoder.decode_strong(
+                    {"scores": scores[j], "labels": labels[j], "boxes": boxes[j]},
+                    threshold=0.5,
+                )
+                for lbl, on, off, sc in pred:
+                    dec_rows[m].append(
+                        dict(
+                            filename=filenames.iloc[idxs[j]],
+                            onset=float(np.clip(on, 0, cfg.features.max_len_seconds)),
+                            offset=float(np.clip(off, 0, cfg.features.max_len_seconds)),
+                            event_label=lbl,
+                            score=float(sc),
+                        )
+                    )
+    log.info(f"eval forward+decode in {time.time() - t0:.1f}s")
+
+    at_df = pd.DataFrame(
+        audio_tag_rows, columns=["filename", "event_label", "onset", "offset"]
+    )
+    if at and not at_df.empty:
+        clip_metric = audio_tagging_results(ref_df, at_df)
+        log.info(f"AT class-wise clip metrics\n{'=' * 50}\n{clip_metric}")
+
+    metrics = {}
+    for m in fusion_strategy:
+        pred_df = pd.DataFrame(
+            dec_rows[m],
+            columns=["filename", "onset", "offset", "event_label", "score"],
+        )
+        log.info(f"Fusion strategy: {m} ({len(pred_df)} events)")
+        metrics[m] = compute_metrics(
+            pred_df, ref_df, cal_seg=cal_seg, cal_clip=cal_clip
+        )
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# supervised training driver
+# ---------------------------------------------------------------------------
+
+
+def run_supervised(args) -> Dict[int, float]:
+    """train_sedt flow (reference train_sedt.py:132-361)."""
+    cfg = args_to_config(args)
+    if args.log:
+        set_logger(cfg.train.info)
+    log = create_logger("train_sedt")
+    log.info("Sound Event Detection Transformer (TPU)")
+    np.random.seed(cfg.train.seed)
+
+    data = (
+        build_synthetic_data(cfg, args)
+        if args.synthetic_smoke
+        else build_real_data(cfg, args)
+    )
+    enc = data["encoder"]
+    store_dir = osp.join(cfg.data.exp_root, cfg.data.dataset_name)
+    model_dir = osp.join(store_dir, "model")
+    os.makedirs(model_dir, exist_ok=True)
+
+    # batch composition (train_sedt.py:197-222)
+    if cfg.data.dataset_name == "urbansed" or args.synthetic_smoke:
+        concat = ConcatDataset([data["train"]]) if not isinstance(
+            data["train"], ConcatDataset
+        ) else data["train"]
+        batch_sizes = [cfg.data.batch_size]
+    else:
+        concat = data["train"]
+        batch_sizes = [cfg.data.batch_size - cfg.data.n_weak, cfg.data.n_weak]
+    sampler = MultiStreamBatchSampler(concat, batch_sizes, seed=cfg.train.seed)
+    steps_per_epoch = max(len(sampler), 1)
+
+    model, weight_dict = build_model(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    B, T, F = cfg.data.batch_size, cfg.model.max_frames, cfg.model.n_mels
+    tx = make_optimizer(_init_params(model, cfg, rng), cfg.train, steps_per_epoch)
+    from .engine import init_train_state
+
+    state = init_train_state(model, cfg, tx, rng, (B, T, F))
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    log.info(f"number of parameters in the model: {n_params}")
+
+    start_epoch = 0
+    if args.pretrain:
+        pre = load_checkpoint(osp.join(model_dir, args.pretrain))
+        state = state._replace(
+            params=load_pretrain_into(state.params, pre["params"])
+        )
+        log.info("loaded self-supervised pretrain weights")
+    if args.resume:
+        ck = load_checkpoint(osp.join(model_dir, args.resume))
+        state = state._replace(params=ck["params"], frozen=ck["frozen"])
+        start_epoch = int(ck.get("epoch", 0))
+        log.info(f"resumed from epoch {start_epoch}")
+
+    train_step = make_train_step(
+        model, weight_dict, cfg, tx,
+        fine_tune=cfg.train.fine_tune, normalize=cfg.train.normalize,
+        fl=cfg.train.focal_loss,
+    )
+    eval_step = make_eval_step(model, weight_dict, cfg, cfg.train.fusion_strategy)
+
+    best_saver = {m: SaveBest("sup") for m in cfg.train.fusion_strategy}
+    early = EarlyStopping(
+        patience=cfg.train.early_stopping_patience,
+        init_patience=cfg.train.early_stopping_init_wait,
+        fusion_strategy=cfg.train.fusion_strategy,
+    )
+    info = cfg.train.info
+    fine_tune = cfg.train.fine_tune
+    metrics: Dict[int, float] = {}
+
+    for epoch in range(start_epoch, args.epochs):
+        if epoch == args.epochs_ls:
+            log.info("entering the fine-tuning stage")
+            best_path = osp.join(model_dir, f"{info}_1_best")
+            if osp.exists(best_path):
+                ck = load_checkpoint(best_path)
+                state = state._replace(params=ck["params"], frozen=ck["frozen"])
+            tx = make_optimizer(
+                state.params, cfg.train, steps_per_epoch, fixed_lr=1e-5
+            )
+            state = state._replace(opt_state=tx.init(state.params))
+            fine_tune = True
+            train_step = make_train_step(
+                model, weight_dict, cfg, tx, fine_tune=True,
+                normalize=cfg.train.normalize, fl=cfg.train.focal_loss,
+            )
+            info = info + "_ft"
+
+        t0 = time.time()
+        losses = []
+        for i, batch in enumerate(
+            batch_iterator(concat, iter(sampler), cfg.model.max_events,
+                           cfg.features.max_len_seconds)
+        ):
+            rng, sk = jax.random.split(rng)
+            state, m = train_step(state, batch, sk)
+            losses.append(float(m["loss"]))
+            if not np.isfinite(losses[-1]):
+                log.info(f"Loss is {losses[-1]}, stopping training")
+                raise SystemExit(1)
+        log.info(
+            f"Epoch {epoch}: loss {np.mean(losses):.4f} "
+            f"({len(losses)} steps, {time.time() - t0:.1f}s)"
+        )
+
+        log.info("Metric on validation")
+        metrics = evaluate(
+            eval_step, state, data["validation"], cfg, enc, data["ref_valid"],
+            cfg.train.fusion_strategy, at=cfg.model.dec_at,
+        )
+        stop = False
+        for m, f1 in metrics.items():
+            if best_saver[m].apply(f1):
+                save_checkpoint(
+                    osp.join(model_dir, f"{info}_{m}_best"),
+                    {"params": state.params, "frozen": state.frozen,
+                     "epoch": epoch, f"event_based_f1_{m}": f1},
+                )
+            if early.apply(f1):
+                log.warning("EARLY STOPPING")
+                stop = True
+        if cfg.train.checkpoint_epochs and (epoch + 1) % cfg.train.checkpoint_epochs == 0:
+            save_checkpoint(
+                osp.join(model_dir, f"{info}_{epoch}"),
+                {"params": state.params, "frozen": state.frozen, "epoch": epoch},
+            )
+        if stop:
+            break
+
+    # final test (train_sedt.py:344-361)
+    for m in cfg.train.fusion_strategy:
+        best_path = osp.join(model_dir, f"{info}_{m}_best")
+        if osp.exists(best_path):
+            ck = load_checkpoint(best_path)
+            state = state._replace(params=ck["params"], frozen=ck["frozen"])
+        log.info("Metric on validation")
+        evaluate(eval_step, state, data["validation"], cfg, enc,
+                 data["ref_valid"], [m], at=cfg.model.dec_at, cal_seg=True,
+                 cal_clip=True)
+        log.info("Metric on eval")
+        metrics = evaluate(eval_step, state, data["eval"], cfg, enc,
+                           data["ref_eval"], [m], at=cfg.model.dec_at,
+                           cal_seg=True, cal_clip=True)
+    return metrics
+
+
+def _init_params(model, cfg: SEDTConfig, rng):
+    B, T, F = 1, cfg.model.max_frames, cfg.model.n_mels
+    feats = jnp.zeros((B, T, F, 1), jnp.float32)
+    pad = jnp.zeros((B, T), bool)
+    if cfg.model.self_sup:
+        patches = jnp.zeros((B, cfg.model.num_patches, 128, 64, 1), jnp.float32)
+        v = model.init({"params": rng, "dropout": rng, "patch_mask": rng},
+                       feats, pad, patches, True)
+    else:
+        v = model.init({"params": rng, "dropout": rng}, feats, pad, True)
+    return v["params"]

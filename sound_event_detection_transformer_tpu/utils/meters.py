@@ -1,0 +1,171 @@
+"""Training meters (port of /root/reference/utilities/utils.py:215-436).
+
+``SmoothedValue`` keeps a window of recent values (median/avg) plus global
+totals; cross-process sync uses a jax pmean/psum-style all-reduce via
+``jax.experimental.multihost_utils`` when running multi-process (replacing the
+torch.distributed all_reduce at utils.py:293-304).  ``MetricLogger`` groups
+meters and prints ETA progress lines (utils.py:384-436).
+"""
+from __future__ import annotations
+
+import datetime
+import time
+from collections import defaultdict, deque
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+
+class AverageMeter:
+    """(reference utils.py:253-272)"""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n: int = 1):
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+class AverageMeterSet:
+    """(reference utils.py:215-250)"""
+
+    def __init__(self):
+        self.meters: Dict[str, AverageMeter] = {}
+
+    def __getitem__(self, key):
+        if key not in self.meters:
+            self.meters[key] = AverageMeter()
+        return self.meters[key]
+
+    def update(self, name, value, n=1):
+        self[name].update(value, n)
+
+    def reset(self):
+        for m in self.meters.values():
+            m.reset()
+
+    def values(self, postfix=""):
+        return {name + postfix: m.val for name, m in self.meters.items()}
+
+    def averages(self, postfix="/avg"):
+        return {name + postfix: m.avg for name, m in self.meters.items()}
+
+
+class SmoothedValue:
+    """Windowed median/avg + global totals (reference utils.py:275-335)."""
+
+    def __init__(self, window_size: int = 20, fmt: Optional[str] = None):
+        self.deque = deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+        self.fmt = fmt or "{median:.4f} ({global_avg:.4f})"
+
+    def update(self, value, n: int = 1):
+        self.deque.append(float(value))
+        self.count += n
+        self.total += float(value) * n
+
+    def synchronize_between_processes(self):
+        """All-reduce (count, total) across hosts (utils.py:293-304)."""
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                arr = np.array([self.count, self.total], dtype=np.float64)
+                arr = multihost_utils.process_allgather(arr).sum(axis=0)
+                self.count = int(arr[0])
+                self.total = float(arr[1])
+        except Exception:  # pragma: no cover - single host
+            pass
+
+    @property
+    def median(self):
+        return float(np.median(self.deque)) if self.deque else 0.0
+
+    @property
+    def avg(self):
+        return float(np.mean(self.deque)) if self.deque else 0.0
+
+    @property
+    def global_avg(self):
+        return self.total / max(self.count, 1)
+
+    @property
+    def max(self):
+        return max(self.deque) if self.deque else 0.0
+
+    @property
+    def value(self):
+        return self.deque[-1] if self.deque else 0.0
+
+    def __str__(self):
+        return self.fmt.format(
+            median=self.median, avg=self.avg, global_avg=self.global_avg,
+            max=self.max, value=self.value,
+        )
+
+
+class MetricLogger:
+    """(reference utils.py:338-436)"""
+
+    def __init__(self, delimiter: str = "\t"):
+        self.meters: Dict[str, SmoothedValue] = defaultdict(SmoothedValue)
+        self.delimiter = delimiter
+
+    def update(self, **kwargs):
+        for k, v in kwargs.items():
+            self.meters[k].update(float(v))
+
+    def __getattr__(self, attr):
+        if attr in self.meters:
+            return self.meters[attr]
+        raise AttributeError(attr)
+
+    def __str__(self):
+        return self.delimiter.join(
+            f"{name}: {meter}" for name, meter in self.meters.items()
+        )
+
+    def add_meter(self, name, meter: SmoothedValue):
+        self.meters[name] = meter
+
+    def synchronize_between_processes(self):
+        for m in self.meters.values():
+            m.synchronize_between_processes()
+
+    def log_every(self, iterable: Iterable, print_freq: int, header: str = ""):
+        i = 0
+        start = time.time()
+        end = time.time()
+        iter_time = SmoothedValue(fmt="{avg:.4f}")
+        data_time = SmoothedValue(fmt="{avg:.4f}")
+        try:
+            total = len(iterable)  # type: ignore[arg-type]
+        except TypeError:
+            total = None
+        for obj in iterable:
+            data_time.update(time.time() - end)
+            yield obj
+            iter_time.update(time.time() - end)
+            if i % print_freq == 0 and total:
+                eta = iter_time.global_avg * (total - i)
+                print(
+                    f"{header} [{i}/{total}] "
+                    f"eta: {datetime.timedelta(seconds=int(eta))} "
+                    f"{self} time: {iter_time} data: {data_time}"
+                )
+            i += 1
+            end = time.time()
+        elapsed = time.time() - start
+        print(f"{header} Total time: {datetime.timedelta(seconds=int(elapsed))}")
