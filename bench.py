@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark: SEDT training throughput (fwd+bwd+update), clips/sec/chip.
+
+Runs the flagship URBAN-SED config (SEDT ResNet-50, enc/dec 3, dec_at,
+batch 64, 500x64 log-mel clips — reference README.md:17-30) as the fully
+jitted train step — forward, on-device Hungarian matching, set loss,
+backward, clip, AdamW — on whatever device JAX provides (the driver runs
+this on one real TPU chip).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md); the
+denominator is an assumed 100 clips/sec for the PyTorch reference on its
+unspecified GPU (a DETR-scale audio model at batch 64 on a V100-class card),
+so vs_baseline = value / 100.  The driver's north star is >= 5x.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ASSUMED_REF_GPU_CLIPS_PER_SEC = 100.0
+BATCH = 64
+WARMUP = 3
+ITERS = 10
+
+
+def main() -> None:
+    from __graft_entry__ import _flagship_cfg
+    from sound_event_detection_transformer_tpu.engine import (
+        Batch, TrainState, make_train_step,
+    )
+    from sound_event_detection_transformer_tpu.models import build_model, empty_targets
+    from sound_event_detection_transformer_tpu.parallel.optim import make_optimizer
+
+    import dataclasses
+
+    cfg = _flagship_cfg(tiny=False)
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=BATCH))
+    model, wd = build_model(cfg)
+    B, T, F = BATCH, cfg.model.max_frames, cfg.model.n_mels
+
+    rng = jax.random.PRNGKey(0)
+    feats0 = jnp.zeros((B, T, F, 1), jnp.float32)
+    pad = jnp.zeros((B, T), bool)
+    variables = model.init({"params": rng, "dropout": rng}, feats0, pad, True)
+    tx = make_optimizer(variables["params"], cfg.train, steps_per_epoch=100)
+    state = TrainState(
+        variables["params"], variables.get("frozen", {}),
+        tx.init(variables["params"]), jnp.asarray(0),
+    )
+
+    rs = np.random.RandomState(0)
+    tgts = empty_targets(B, cfg.model.max_events, cfg.features.max_len_seconds)
+    labels = rs.randint(0, cfg.model.num_classes, (B, cfg.model.max_events))
+    centers = rs.uniform(0.2, 0.8, (B, cfg.model.max_events))
+    lengths = rs.uniform(0.05, 0.3, (B, cfg.model.max_events))
+    valid = rs.rand(B, cfg.model.max_events) < 0.3
+    valid[:, 0] = True
+    tgts = tgts._replace(
+        labels=jnp.asarray(labels, jnp.int32),
+        boxes=jnp.stack([jnp.asarray(centers), jnp.asarray(lengths)], -1).astype(
+            jnp.float32
+        ),
+        box_valid=jnp.asarray(valid),
+        label_valid=jnp.asarray(valid),
+    )
+    batch = Batch(
+        feats=jnp.asarray(rs.randn(B, T, F, 1), jnp.float32),
+        pad_mask=pad,
+        targets=tgts,
+        strong=jnp.ones((B,), bool),
+        weak=jnp.zeros((B,), bool),
+    )
+
+    step = make_train_step(model, wd, cfg, tx)
+    key = jax.random.PRNGKey(1)
+    for i in range(WARMUP):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, m = step(state, batch, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "sedt_train_clips_per_sec_per_chip",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/sec/chip",
+                "vs_baseline": round(clips_per_sec / ASSUMED_REF_GPU_CLIPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

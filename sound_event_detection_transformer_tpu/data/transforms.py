@@ -141,3 +141,49 @@ def get_transforms(
         return data, label
 
     return fn
+
+
+def time_shift(
+    data: np.ndarray,  # [T, F]
+    label_matrix: Optional[np.ndarray] = None,  # [T, C] frame labels
+    mean: float = 0.0,
+    std: float = 90.0,
+    rng: Optional[np.random.RandomState] = None,
+):
+    """Circularly shift the clip in time, shifting frame labels with it
+    (reference FrameTransforms.Time_shift, FrameTransforms.py:301-345; used by
+    the audio-tag trainer where labels are frame matrices)."""
+    rng = rng or np.random
+    shift = int(rng.normal(mean, std))
+    data = np.roll(data, shift, axis=0)
+    if label_matrix is not None:
+        label_matrix = np.roll(label_matrix, shift, axis=0)
+    return data, label_matrix
+
+
+def get_frame_transforms(
+    frames: int,
+    scaler: Optional[Scaler] = None,
+    compute_log: bool = True,
+    apply_time_shift: bool = False,
+    rng: Optional[np.random.RandomState] = None,
+):
+    """Host pipeline for the audio-tag trainer (reference
+    FrameTransforms.get_transforms, FrameTransforms.py:348-377): log ->
+    pad/trunc -> normalize [-> time shift]."""
+
+    def fn(sample):
+        data, label = sample
+        if compute_log:
+            data = apply_log(data)
+        data = pad_trunc_seq(data, frames)
+        if scaler is not None:
+            data = scaler.normalize(data).astype(np.float32)
+        if apply_time_shift:
+            lm = label if isinstance(label, np.ndarray) and label.ndim == 2 else None
+            data, lm = time_shift(data, lm, rng=rng)
+            if lm is not None:
+                label = lm
+        return data, label
+
+    return fn

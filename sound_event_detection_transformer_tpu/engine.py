@@ -14,8 +14,6 @@ Re-designs /root/reference/engine.py for TPU execution:
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -201,15 +199,23 @@ def get_pseudo_labels(
     keep = (pp.scores >= thr) & (pp.boxes[..., 1] > 0.2 / orig_sizes[:, None])
     keep = keep & jax.vmap(same_class_nms)(pp.scores, pp.labels, pp.boxes, keep)
 
-    # compact into fixed capacity M, highest scores first
+    # compact into fixed capacity M = max_events, highest scores first
     M = max_events
-    rank = jnp.argsort(-jnp.where(keep, pp.scores, -jnp.inf), axis=-1)[:, :M]
+    k = min(Q, M)
+    rank = jnp.argsort(-jnp.where(keep, pp.scores, -jnp.inf), axis=-1)[:, :k]
     take = lambda x: jnp.take_along_axis(
         x, rank.reshape(rank.shape + (1,) * (x.ndim - 2)), axis=1
     )
-    labels = take(pp.labels).astype(jnp.int32)
-    boxes = take(pp.boxes)
-    valid = take(keep)
+
+    def pad_to_m(x, fill=0):
+        if x.shape[1] == M:
+            return x
+        pads = [(0, 0), (0, M - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, pads, constant_values=fill)
+
+    labels = pad_to_m(take(pp.labels).astype(jnp.int32))
+    boxes = pad_to_m(take(pp.boxes))
+    valid = pad_to_m(take(keep), fill=False)
     C = classwise_threshold.shape[0]
     counts = (jax.nn.one_hot(labels, C) * valid[..., None]).sum(axis=(0, 1))
     targets = DenseTargets(
@@ -325,7 +331,11 @@ def make_semi_train_step(
         new_state = TrainState(params, state.frozen, opt_state, state.step + 1)
         return new_state, new_ema, metrics, counts
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    # NOTE: no donate_argnums here — donating (state, ema) into this graph
+    # sends XLA buffer assignment on this backend into a >10-minute compile
+    # (60 s without).  The extra copies are ~2x param size and irrelevant
+    # next to the activations.
+    return jax.jit(step)
 
 
 def adjust_threshold(

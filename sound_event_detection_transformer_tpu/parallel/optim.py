@@ -56,13 +56,22 @@ def step_lr(base_lr: float, lr_drop: int, steps_per_epoch: int, gamma: float = 0
 
 
 def cosine_lr(base_lr: float, total_epochs: int, steps_per_epoch: int,
-              min_ratio: float = 0.0):
-    """Cosine decay over epochs (reference utils.py:19-43 cosine schedule)."""
+              min_ratio: float = 0.0, warmup_epochs: float = 0.0):
+    """Cosine decay over epochs with optional linear warmup
+    (reference get_cosine_schedule_with_warmup, utils.py:19-43; the semi
+    trainer uses zero warmup, train_ss_sedt.py:160)."""
 
     def sched(step):
         epoch = step / max(1, steps_per_epoch)
-        t = jnp.clip(epoch / max(1, total_epochs), 0.0, 1.0)
-        return base_lr * (min_ratio + (1 - min_ratio) * 0.5 * (1 + jnp.cos(math.pi * t)))
+        if warmup_epochs > 0:
+            warm = jnp.clip(epoch / warmup_epochs, 0.0, 1.0)
+        else:
+            warm = 1.0
+        t = jnp.clip(
+            (epoch - warmup_epochs) / max(1, total_epochs - warmup_epochs), 0.0, 1.0
+        )
+        cos = min_ratio + (1 - min_ratio) * 0.5 * (1 + jnp.cos(math.pi * t))
+        return base_lr * warm * cos
 
     return sched
 

@@ -148,7 +148,8 @@ def args_to_config(args) -> SEDTConfig:
         feats = C.FeatureConfig.dcase()
         classes = C.DCASE_CLASSES
         max_frames = feats.max_frames
-        num_queries = 20  # dataset override (train_sedt.py:151-152)
+        # dataset override (train_sedt.py:151-152); smoke runs keep the flag
+        num_queries = args.num_queries if args.synthetic_smoke else 20
     if args.synthetic_smoke:
         # small geometry for smoke runs
         max_frames = 128
@@ -570,3 +571,445 @@ def _init_params(model, cfg: SEDTConfig, rng):
     else:
         v = model.init({"params": rng, "dropout": rng}, feats, pad, True)
     return v["params"]
+
+
+# ---------------------------------------------------------------------------
+# SP-SEDT self-supervised pretraining driver
+# ---------------------------------------------------------------------------
+
+
+def run_spsedt(args) -> None:
+    """train_spsedt flow (reference train_spsedt.py:31-200): unlabeled data,
+    patch queries, checkpoint-only loop (no validation), SPMD data parallel
+    over the device mesh replacing DDP (train_spsedt.py:157-158)."""
+    args.self_sup = True
+    args.dec_at = False
+    args.lr_backbone = 0.0  # backbone frozen during pretraining
+    cfg = args_to_config(args)
+    if args.log:
+        set_logger(cfg.train.info)
+    log = create_logger("train_spsedt")
+    log.info("SP-SEDT self-supervised pretraining")
+    np.random.seed(cfg.train.seed)
+
+    store_dir = osp.join(cfg.data.exp_root, cfg.data.dataset_name)
+    model_dir = osp.join(store_dir, "model")
+    os.makedirs(model_dir, exist_ok=True)
+
+    if args.synthetic_smoke:
+        from .data.synthetic import SyntheticDataset
+
+        enc = BoxEncoder(1, seconds=cfg.features.max_len_seconds,
+                         generate_patch=True)
+        train_data = SyntheticDataset(
+            args.smoke_clips, list(cfg.data.classes), cfg.model.max_frames,
+            cfg.model.n_mels, enc.encode_strong_df, max_events=2, seed=0,
+            unlabel=True, num_patches=cfg.model.num_patches,
+        )
+    else:
+        from .data.features import SedData
+
+        root = osp.join(cfg.data.root, cfg.data.dataset_name)
+        ds = SedData(cfg.data.dataset_name,
+                     base_feature_dir=osp.join(root, "features"), compute_log=False)
+        unlabel_df = ds.initialize_and_get_df(
+            osp.join(root, "metadata", "train", "unlabel_in_domain.tsv"),
+            nb_files=cfg.data.nb_files,
+        )
+        enc = BoxEncoder(1, seconds=cfg.features.max_len_seconds,
+                         generate_patch=True)
+        scaler = Scaler()
+        scaler_path = osp.join(cfg.data.exp_root, cfg.data.dataset_name + ".json")
+        base_tf = get_transforms(cfg.model.max_frames, None, compute_log=True)
+        pre = DataLoadDf(unlabel_df, enc.encode_strong_df, base_tf)
+        if osp.isfile(scaler_path):
+            scaler.load(scaler_path)
+        else:
+            scaler.calculate_scaler(pre)
+            os.makedirs(osp.dirname(scaler_path), exist_ok=True)
+            scaler.save(scaler_path)
+        tf = get_transforms(cfg.model.max_frames, scaler, compute_log=True)
+        train_data = DataLoadDf(
+            unlabel_df, enc.encode_strong_df, tf, in_memory=cfg.data.in_memory,
+            num_patches=cfg.model.num_patches,
+            fixed_patch_size=args.fixed_patch_size,
+        )
+
+    model, weight_dict = build_model(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    params = _init_params(model, cfg, rng)
+    steps_per_epoch = max(len(train_data) // cfg.data.batch_size, 1)
+    tx = make_optimizer(params, cfg.train, steps_per_epoch)
+    from .engine import init_train_state
+
+    state = init_train_state(
+        model, cfg, tx, rng,
+        (cfg.data.batch_size, cfg.model.max_frames, cfg.model.n_mels),
+        patches_shape=(cfg.data.batch_size, cfg.model.num_patches, 128, 64, 1),
+    )
+    log.info(
+        f"params: {sum(x.size for x in jax.tree.leaves(state.params))}"
+    )
+    if args.pretrain:  # audio-tag backbone init (train_spsedt.py:133-142)
+        from .utils.checkpoint import load_audio_tag_backbone
+
+        at_ck = load_checkpoint(osp.join(model_dir, args.pretrain))
+        state = state._replace(
+            params=load_audio_tag_backbone(state.params, at_ck["params"])
+        )
+        log.info("initialized backbone from audio-tag checkpoint")
+    start_epoch = 0
+    if args.resume:
+        ck = load_checkpoint(osp.join(model_dir, args.resume))
+        state = state._replace(params=ck["params"], frozen=ck["frozen"])
+        start_epoch = int(ck.get("epoch", 0))
+
+    train_step = make_train_step(model, weight_dict, cfg, tx, augment_on=False)
+    from .parallel.mesh import process_is_main
+
+    for epoch in range(start_epoch, args.epochs):
+        t0, losses = time.time(), []
+        order = np.random.permutation(len(train_data))
+        nb = len(order) // cfg.data.batch_size
+        for b in range(nb):
+            idxs = order[b * cfg.data.batch_size : (b + 1) * cfg.data.batch_size]
+            from .data.dataset import collate
+
+            batch = collate(
+                [train_data[i] for i in idxs], cfg.model.max_events,
+                cfg.features.max_len_seconds,
+            )
+            # patch boxes ARE the targets in self-sup (labels all 0)
+            rng, sk = jax.random.split(rng)
+            state, m = train_step(state, batch, sk)
+            losses.append(float(m["loss"]))
+            if not np.isfinite(losses[-1]):
+                log.info("Loss is not finite, stopping")
+                raise SystemExit(1)
+        log.info(
+            f"Epoch {epoch}: loss {np.mean(losses):.4f} ({nb} steps, "
+            f"{time.time() - t0:.1f}s)"
+        )
+        if (
+            process_is_main()
+            and cfg.train.checkpoint_epochs
+            and (epoch + 1) % cfg.train.checkpoint_epochs == 0
+        ):
+            save_checkpoint(
+                osp.join(model_dir, f"{cfg.train.info}_{epoch}"),
+                {"params": state.params, "frozen": state.frozen, "epoch": epoch},
+            )
+    if process_is_main():
+        save_checkpoint(
+            osp.join(model_dir, cfg.train.info),
+            {"params": state.params, "frozen": state.frozen, "epoch": args.epochs},
+        )
+        log.info(f"saved final pretrain checkpoint: {cfg.train.info}")
+
+
+# ---------------------------------------------------------------------------
+# semi-supervised mean-teacher driver
+# ---------------------------------------------------------------------------
+
+
+def run_semi(args) -> Dict[int, float]:
+    """train_ss_sedt flow (reference train_ss_sedt.py:25-275): batch =
+    1/4 synthetic + 1/4 weak + 1/2 unlabeled; teacher/student noise pairs;
+    EMA teacher; class-wise threshold adaptation; teacher-vs-student eval."""
+    from .config import DCASE_CLASS_PRIOR
+    from .engine import adjust_threshold, init_train_state, make_semi_train_step
+    from .ops import augment as aug_ops
+
+    cfg = args_to_config(args)
+    if args.log:
+        set_logger(cfg.train.info)
+    log = create_logger("train_ss_sedt")
+    log.info("Semi-supervised Learning for SEDT (mean teacher)")
+    np.random.seed(cfg.train.seed)
+
+    store_dir = osp.join(cfg.data.exp_root, cfg.data.dataset_name)
+    model_dir = osp.join(store_dir, "model")
+    os.makedirs(model_dir, exist_ok=True)
+
+    B = args.semi_batch_size
+    batch_sizes = [B // 4, B // 4, 2 * B // 4]
+
+    if args.synthetic_smoke:
+        classes = list(cfg.data.classes)
+        enc = BoxEncoder(classes, seconds=cfg.features.max_len_seconds)
+        frames, mels = cfg.model.max_frames, cfg.model.n_mels
+        synth = SyntheticDataset(4 * batch_sizes[0], classes, frames, mels,
+                                 enc.encode_strong_df, max_events=2, seed=0)
+        weak = SyntheticDataset(4 * batch_sizes[1], classes, frames, mels,
+                                enc.encode_strong_df, max_events=2, seed=1,
+                                weak_only=True)
+        unlab = SyntheticDataset(4 * batch_sizes[2], classes, frames, mels,
+                                 enc.encode_strong_df, max_events=2, seed=2,
+                                 unlabel=True)
+        valid = SyntheticDataset(16, classes, frames, mels,
+                                 enc.encode_strong_df, max_events=2, seed=3)
+        data = {
+            "validation": valid, "eval": valid, "encoder": enc,
+            "ref_valid": valid.ref_df(), "ref_eval": valid.ref_df(),
+        }
+        concat = ConcatDataset([synth, weak, unlab])
+    else:
+        data = build_real_data(cfg, args)
+        from .data.features import SedData
+
+        root = osp.join(cfg.data.root, cfg.data.dataset_name)
+        ds = SedData(cfg.data.dataset_name,
+                     base_feature_dir=osp.join(root, "features"), compute_log=False)
+        unlabel_df = ds.initialize_and_get_df(
+            osp.join(root, "metadata", "train", "unlabel_in_domain.tsv"),
+            nb_files=cfg.data.nb_files,
+        )
+        enc = data["encoder"]
+        tf = get_transforms(cfg.model.max_frames, data["scaler"], compute_log=True)
+        unlab = DataLoadDf(unlabel_df, enc.encode_strong_df, tf,
+                           in_memory=cfg.data.in_memory)
+        # train datasets already built: [synthetic, weak] — rebuild in semi order
+        concat = ConcatDataset(list(data["train"].datasets) + [unlab])
+
+    sampler = MultiStreamBatchSampler(concat, batch_sizes, seed=cfg.train.seed)
+    steps_per_epoch = max(len(sampler), 1)
+
+    model, weight_dict = build_model(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    params = _init_params(model, cfg, rng)
+    tx = make_optimizer(params, cfg.train, steps_per_epoch, schedule="cosine")
+    state = init_train_state(
+        model, cfg, tx, rng, (B, cfg.model.max_frames, cfg.model.n_mels)
+    )
+
+    if args.teacher_model:
+        ck = load_checkpoint(osp.join(model_dir, args.teacher_model))
+        state = state._replace(params=ck["params"], frozen=ck["frozen"])
+        log.info(f"using teacher model: {args.teacher_model}")
+    elif not args.synthetic_smoke and not args.eval:
+        raise SystemExit("please provide the teacher model (--teacher_model)")
+    # the teacher must own distinct buffers: both state and ema are donated
+    # by the jitted step, and aliased trees trip double-donation
+    ema_params = jax.tree.map(jnp.copy, state.params)
+
+    semi_step = make_semi_train_step(
+        model, weight_dict, cfg, tx, fine_tune=cfg.train.fine_tune,
+        normalize=cfg.train.normalize, fl=cfg.train.focal_loss,
+    )
+    eval_step = make_eval_step(model, weight_dict, cfg, cfg.train.fusion_strategy)
+
+    # per-position stream flags for the fixed batch layout
+    pos = np.arange(B)
+    strong_flag = jnp.asarray(pos < batch_sizes[0])
+    weak_flag = jnp.asarray((pos >= batch_sizes[0]) & (pos < batch_sizes[0] + batch_sizes[1]))
+    unlabel_flag = jnp.asarray(pos >= batch_sizes[0] + batch_sizes[1])
+
+    prior = np.asarray(DCASE_CLASS_PRIOR[: cfg.model.num_classes], np.float64)
+    prior = prior / prior.sum()
+    origin_threshold = np.full((cfg.model.num_classes,), 0.5)
+    classwise_threshold = origin_threshold.copy()
+
+    best_saver = {m: SaveBest("sup") for m in cfg.train.fusion_strategy}
+    early = EarlyStopping(
+        patience=cfg.train.early_stopping_patience,
+        init_patience=cfg.train.early_stopping_init_wait,
+        fusion_strategy=cfg.train.fusion_strategy,
+    )
+    metrics: Dict[int, float] = {}
+    a = cfg.augment
+
+    for epoch in range(args.epochs):
+        t0, losses = time.time(), []
+        counts_epoch = np.zeros((cfg.model.num_classes,))
+        for i, batch in enumerate(
+            batch_iterator(concat, iter(sampler), cfg.model.max_events,
+                           cfg.features.max_len_seconds,
+                           unlabel_streams=(2,))
+        ):
+            rng, k_noise, k_m1, k_m2, k_m3, k_step = jax.random.split(rng, 6)
+            feats = jnp.asarray(batch.feats)
+            teacher_feats, student_feats = aug_ops.gaussian_noise_pair(
+                feats, k_noise, snr=cfg.features.noise_snr, p=0.5
+            )
+            # masks apply to the student copy only (BoxTransforms.py:24-26)
+            if a.time_mask:
+                student_feats = aug_ops.time_mask(student_feats, k_m1)
+            if a.freq_mask:
+                student_feats = aug_ops.freq_mask(student_feats, k_m2)
+            if a.freq_shift:
+                student_feats = aug_ops.freq_shift(student_feats, k_m3)
+            do_ema = jnp.asarray((i + 1) % cfg.train.accumlating_ema_steps == 0)
+            state, ema_params, m, counts = semi_step(
+                state, ema_params, teacher_feats, student_feats,
+                jnp.asarray(batch.pad_mask),
+                jax.tree.map(jnp.asarray, batch.targets),
+                strong_flag, weak_flag, unlabel_flag,
+                jnp.asarray(classwise_threshold, jnp.float32), k_step, do_ema,
+            )
+            counts_epoch += np.asarray(counts)
+            losses.append(float(m["loss"]))
+            if not np.isfinite(losses[-1]):
+                log.info("Loss is infinite, stopping training")
+                raise SystemExit(1)
+        classwise_threshold = adjust_threshold(
+            counts_epoch, origin_threshold, prior
+        )
+        log.info(
+            f"Epoch {epoch}: loss {np.mean(losses):.4f} "
+            f"({len(losses)} steps, {time.time() - t0:.1f}s); "
+            f"pseudo counts {counts_epoch.astype(int).tolist()}"
+        )
+
+        eval_state = (
+            state._replace(params=ema_params) if args.teacher_eval else state
+        )
+        log.info(
+            ("teacher" if args.teacher_eval else "student") + " model validation"
+        )
+        metrics = evaluate(
+            eval_step, eval_state, data["validation"], cfg, data["encoder"],
+            data["ref_valid"], cfg.train.fusion_strategy, at=cfg.model.dec_at,
+        )
+        stop = False
+        for m_, f1 in metrics.items():
+            if best_saver[m_].apply(f1):
+                save_checkpoint(
+                    osp.join(model_dir, f"{cfg.train.info}_{m_}_best"),
+                    {"params": state.params, "ema_params": ema_params,
+                     "frozen": state.frozen, "epoch": epoch,
+                     f"event_based_f1_{m_}": f1},
+                )
+            if early.apply(f1):
+                log.warning("EARLY STOPPING")
+                stop = True
+        if stop:
+            break
+
+    for m_ in cfg.train.fusion_strategy:
+        best_path = osp.join(model_dir, f"{cfg.train.info}_{m_}_best")
+        if osp.exists(best_path):
+            ck = load_checkpoint(best_path)
+            which = "ema_params" if args.teacher_eval else "params"
+            state = state._replace(params=ck[which], frozen=ck["frozen"])
+            log.info(f"using {'teacher' if args.teacher_eval else 'student'} for test")
+        log.info("Metric on validation")
+        evaluate(eval_step, state, data["validation"], cfg, data["encoder"],
+                 data["ref_valid"], [m_], at=cfg.model.dec_at, cal_seg=True,
+                 cal_clip=True)
+        log.info("Metric on eval")
+        metrics = evaluate(eval_step, state, data["eval"], cfg, data["encoder"],
+                           data["ref_eval"], [m_], at=cfg.model.dec_at,
+                           cal_seg=True, cal_clip=True)
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# audio-tag backbone trainer
+# ---------------------------------------------------------------------------
+
+
+def run_audio_tag(args) -> float:
+    """train_at flow (reference train_at.py:50-249): clip-tagging BCE trainer
+    for the backbone used to initialize SP-SEDT."""
+    import optax
+    import pandas as pd
+
+    from .data.encoder import ManyHotEncoder
+    from .models.resnet import AudioTagBackbone
+
+    cfg = args_to_config(args)
+    log = create_logger("train_at")
+    np.random.seed(cfg.train.seed)
+    store_dir = osp.join(cfg.data.exp_root, cfg.data.dataset_name)
+    model_dir = osp.join(store_dir, "model")
+    os.makedirs(model_dir, exist_ok=True)
+    classes = list(cfg.data.classes)
+    mhe = ManyHotEncoder(classes, n_frames=cfg.model.max_frames)
+
+    if args.synthetic_smoke:
+        enc_weak = mhe.encode_weak
+        train_data = SyntheticDataset(
+            args.smoke_clips, classes, cfg.model.max_frames, cfg.model.n_mels,
+            enc_weak, max_events=2, seed=0, weak_only=True,
+        )
+        valid = SyntheticDataset(16, classes, cfg.model.max_frames,
+                                 cfg.model.n_mels, enc_weak, max_events=2,
+                                 seed=1, weak_only=True)
+        ref_valid = valid.ref_df()
+    else:
+        data = build_real_data(cfg, args)
+        raise SystemExit("real-data audio-tag training requires the dataset; "
+                         "use --synthetic_smoke in this environment")
+
+    model = AudioTagBackbone(
+        arch=cfg.model.backbone, dilation=cfg.model.dilation,
+        pooling=args.pooling or "avg", num_classes=len(classes),
+    )
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    x0 = jnp.zeros((1, cfg.model.max_frames, cfg.model.n_mels, 1))
+    variables = model.init({"params": rng}, x0)
+    sched = optax.exponential_decay(
+        args.lr, args.lr_drop * max(len(train_data) // cfg.data.batch_size, 1),
+        0.1, staircase=True,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(0.1),
+        optax.adam(sched),  # reference uses Adam amsgrad, wd 0 (train_at.py:209)
+    )
+    opt_state = tx.init(variables["params"])
+    params, frozen = variables["params"], variables.get("frozen", {})
+
+    @jax.jit
+    def at_step(params, frozen, opt_state, x, y):
+        def loss_fn(p):
+            out = model.apply({"params": p, "frozen": frozen}, x)
+            eps = 1e-7
+            out = jnp.clip(out, eps, 1 - eps)
+            return -(y * jnp.log(out) + (1 - y) * jnp.log(1 - out)).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def at_forward(params, frozen, x):
+        return model.apply({"params": params, "frozen": frozen}, x)
+
+    def collate_weak(samples):
+        xs = np.stack([s[0] for s in samples]).astype(np.float32)[..., None]
+        ys = np.stack([np.asarray(s[1], np.float32) for s in samples])
+        return jnp.asarray(xs), jnp.asarray(ys)
+
+    bs = cfg.data.batch_size
+    best = SaveBest("sup")
+    model_path = osp.join(model_dir, f"at_{args.pooling or 'avg'}_{cfg.data.dataset_name}")
+    f1 = 0.0
+    for epoch in range(args.epochs):
+        order = np.random.permutation(len(train_data))
+        losses = []
+        for b in range(len(order) // bs):
+            idxs = order[b * bs : (b + 1) * bs]
+            x, y = collate_weak([train_data[i] for i in idxs])
+            params, opt_state, loss = at_step(params, frozen, opt_state, x, y)
+            losses.append(float(loss))
+        log.info(f"Epoch {epoch}: loss {np.mean(losses):.4f}")
+
+        # validation clip F1
+        rows = []
+        for b in range(0, len(valid), bs):
+            idxs = list(range(b, min(b + bs, len(valid))))
+            x, _ = collate_weak([valid[i] for i in idxs])
+            out = np.asarray(at_forward(params, frozen, x)) > 0.5
+            for j, row in enumerate(out):
+                for lbl in mhe.decode_weak(row.astype(int)):
+                    rows.append(dict(filename=valid.filenames.iloc[idxs[j]],
+                                     event_label=lbl, onset=0, offset=0))
+        at_df = pd.DataFrame(rows, columns=["filename", "event_label", "onset", "offset"])
+        clip = audio_tagging_results(ref_valid, at_df)
+        f1 = float(clip.loc["avg", "f"])
+        log.info(f"AT clip macro F1: {f1:.4f}")
+        if best.apply(f1):
+            save_checkpoint(model_path, {"params": params, "frozen": frozen,
+                                         "epoch": epoch})
+    log.info(f"best AT model saved at {model_path}")
+    return f1

@@ -1,0 +1,110 @@
+"""Matcher tests: exact LSAP parity vs scipy + dense assignment semantics
+(the on-device replacement for /root/reference/sedt/matcher.py:92-95)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from sound_event_detection_transformer_tpu.ops.matcher import (
+    BIG,
+    batched_hungarian,
+    compute_cost_matrix,
+    match,
+)
+
+
+def test_hungarian_optimal_cost_parity(rng):
+    N, B = 22, 32
+    costs = np.full((B, N, N), BIG, dtype=np.float32)
+    sizes = rng.randint(2, N + 1, size=B)
+    for b in range(B):
+        n = sizes[b]
+        costs[b, :n, :n] = rng.randn(n, n) * rng.uniform(0.1, 10)
+    out = np.asarray(jax.jit(batched_hungarian)(jnp.asarray(costs)))
+    for b in range(B):
+        r, c = linear_sum_assignment(costs[b])
+        scipy_cost = costs[b][r, c].sum()
+        ours = sum(costs[b][out[b, j], j] for j in range(N))
+        assert abs(ours - scipy_cost) <= 1e-2 * max(1.0, abs(scipy_cost))
+
+
+def _random_problem(rng, B=3, Q=10, C=5, M=6):
+    logits = jnp.asarray(rng.randn(B, Q, C + 1), jnp.float32)
+    boxes = jax.nn.sigmoid(jnp.asarray(rng.randn(B, Q, 2), jnp.float32))
+    tl = jnp.asarray(rng.randint(0, C, (B, M)), jnp.int32)
+    tb = jax.nn.sigmoid(jnp.asarray(rng.randn(B, M, 2), jnp.float32))
+    return logits, boxes, tl, tb
+
+
+def test_match_against_scipy_full_pipeline(rng):
+    """Dense match == scipy assignment on the same cost matrix."""
+    logits, boxes, tl, tb = _random_problem(rng)
+    B, Q, M = boxes.shape[0], boxes.shape[1], tl.shape[1]
+    valid = jnp.asarray(rng.rand(B, M) < 0.7)
+    cost = np.asarray(
+        compute_cost_matrix(logits, boxes, tl, tb, valid, 1.0, 5.0, 2.0)
+    )
+    res = match(logits, boxes, tl, tb, valid)
+    for b in range(B):
+        cols = np.where(np.asarray(valid[b]))[0]
+        if len(cols) == 0:
+            assert not np.asarray(res.query_matched[b]).any()
+            continue
+        r, c = linear_sum_assignment(cost[b][:, cols])
+        scipy_cost = cost[b][:, cols][r, c].sum()
+        ours_pairs = [
+            (q, int(res.tgt_for_query[b, q]))
+            for q in range(Q)
+            if bool(res.query_matched[b, q])
+        ]
+        assert len(ours_pairs) == min(Q, len(cols))
+        ours_cost = sum(cost[b][q, t] for q, t in ours_pairs)
+        assert abs(ours_cost - scipy_cost) <= 1e-2 * max(1.0, abs(scipy_cost))
+
+
+def test_match_ratio_coef(rng):
+    logits, boxes, tl, tb = _random_problem(rng, B=2, Q=6, C=3, M=4)
+    valid = jnp.ones((2, 4), bool)
+    ratio = jnp.asarray(rng.rand(2, 4), jnp.float32)
+    res = match(logits, boxes, tl, tb, valid, tgt_ratio=ratio)
+    # every valid target matched (Q > M); coef == its ratio
+    np.testing.assert_allclose(
+        np.asarray(res.num_boxes), np.asarray(ratio.sum(-1)), atol=1e-5
+    )
+
+
+def test_match_normalize_gives_unit_coef(rng):
+    logits, boxes, tl, tb = _random_problem(rng, B=2, Q=6, C=3, M=4)
+    valid = jnp.ones((2, 4), bool)
+    res = match(logits, boxes, tl, tb, valid, normalize=True)
+    got = np.asarray(res.coef)[np.asarray(res.query_matched)]
+    np.testing.assert_allclose(got, 1.0, atol=1e-6)  # 1-1 matching -> counts 1
+
+
+def test_focal_cost_changes_assignment_shape(rng):
+    logits, boxes, tl, tb = _random_problem(rng)
+    valid = jnp.ones(tl.shape, bool)
+    res = match(logits, boxes, tl, tb, valid, focal=True)
+    assert np.asarray(res.query_matched).sum(-1).tolist() == [6, 6, 6]
+
+
+def test_fine_tune_relaxed_matching_adds_queries(rng):
+    logits, boxes, tl, tb = _random_problem(rng, B=2, Q=8, C=3, M=2)
+    valid = jnp.ones((2, 2), bool)
+    base = match(logits, boxes, tl, tb, valid)
+    # epsilon huge + alpha huge: every query reserved and kept
+    relaxed = match(
+        logits, boxes, tl, tb, valid,
+        fine_tune=True, epsilon=1e6, alpha=1e6, rng=jax.random.PRNGKey(0),
+    )
+    assert np.asarray(relaxed.query_matched).all()
+    # nearest-gt assignment for extra queries is a valid target index
+    assert (np.asarray(relaxed.tgt_for_query) >= 0).all()
+    assert (np.asarray(relaxed.tgt_for_query) < 2).all()
+    # epsilon tiny: only originally-matched queries that pass epsilon remain
+    tight = match(
+        logits, boxes, tl, tb, valid,
+        fine_tune=True, epsilon=-1e6, alpha=1e6, rng=jax.random.PRNGKey(0),
+    )
+    assert not np.asarray(tight.query_matched).any()

@@ -1,0 +1,89 @@
+"""torchvision weight import: numerical equivalence of one conv+frozenBN
+against torch's own computation."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from sound_event_detection_transformer_tpu.models.resnet import ResNetBackbone
+from sound_event_detection_transformer_tpu.models.torch_import import (
+    torch_resnet_to_tree,
+)
+
+
+def test_key_mapping_and_stem_equivalence(rng):
+    # build a minimal torch-style state_dict for the stem
+    w = rng.randn(64, 3, 7, 7).astype(np.float32) * 0.05
+    sd = {
+        "conv1.weight": torch.tensor(w),
+        "bn1.weight": torch.tensor(rng.rand(64).astype(np.float32) + 0.5),
+        "bn1.bias": torch.tensor(rng.randn(64).astype(np.float32)),
+        "bn1.running_mean": torch.tensor(rng.randn(64).astype(np.float32) * 0.1),
+        "bn1.running_var": torch.tensor(rng.rand(64).astype(np.float32) + 0.5),
+    }
+    params, frozen = torch_resnet_to_tree(sd)
+    assert params["conv1"]["kernel"].shape == (7, 7, 3, 64)
+    assert frozen["bn1"]["scale"].shape == (64,)
+
+    # torch forward of stem conv+frozenbn on a random input
+    x = rng.randn(1, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        conv = torch.nn.functional.conv2d(
+            torch.tensor(x), sd["conv1.weight"], stride=2, padding=3
+        )
+        scale = sd["bn1.weight"] * (sd["bn1.running_var"] + 1e-5).rsqrt()
+        bias = sd["bn1.bias"] - sd["bn1.running_mean"] * scale
+        ref = conv * scale[None, :, None, None] + bias[None, :, None, None]
+
+    # same computation through our layers (NHWC)
+    import flax.linen as nn
+
+    class Stem(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                        use_bias=False, name="conv1")(x)
+            from sound_event_detection_transformer_tpu.models.resnet import (
+                FrozenBatchNorm,
+            )
+
+            return FrozenBatchNorm(64, name="bn1")(x)
+
+    stem = Stem()
+    variables = stem.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    variables = {
+        "params": {"conv1": {"kernel": jnp.asarray(params["conv1"]["kernel"])}},
+        "frozen": {
+            "bn1": {k: jnp.asarray(v) for k, v in frozen["bn1"].items()}
+        },
+    }
+    got = stem.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(got), ref.numpy().transpose(0, 2, 3, 1), atol=2e-4
+    )
+
+
+def test_bottleneck_block_keys(rng):
+    sd = {}
+    for n, shape in [
+        ("layer1.0.conv1.weight", (64, 64, 1, 1)),
+        ("layer1.0.bn1.weight", (64,)),
+        ("layer1.0.bn1.bias", (64,)),
+        ("layer1.0.bn1.running_mean", (64,)),
+        ("layer1.0.bn1.running_var", (64,)),
+        ("layer1.0.downsample.0.weight", (256, 64, 1, 1)),
+        ("layer1.0.downsample.1.weight", (256,)),
+        ("layer1.0.downsample.1.bias", (256,)),
+        ("layer1.0.downsample.1.running_mean", (256,)),
+        ("layer1.0.downsample.1.running_var", (256,)),
+        ("fc.weight", (1000, 2048)),
+    ]:
+        sd[n] = torch.tensor(rng.randn(*shape).astype(np.float32))
+    params, frozen = torch_resnet_to_tree(sd)
+    assert params["layer1_0"]["conv1"]["kernel"].shape == (1, 1, 64, 64)
+    assert params["layer1_0"]["downsample_conv"]["kernel"].shape == (1, 1, 64, 256)
+    assert frozen["layer1_0"]["downsample_bn"]["var"].shape == (256,)
+    assert "fc" not in params  # classifier dropped
