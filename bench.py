@@ -27,7 +27,8 @@ import numpy as np
 ASSUMED_REF_GPU_CLIPS_PER_SEC = 100.0
 BATCH = 64
 WARMUP = 3
-ITERS = 10
+ITERS = 15
+TRIALS = 3  # median-of-trials damps host-contention noise
 
 
 def main() -> None:
@@ -84,13 +85,14 @@ def main() -> None:
         state, m = step(state, batch, jax.random.fold_in(key, i))
     jax.block_until_ready(m["loss"])
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, m = step(state, batch, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-
-    clips_per_sec = BATCH * ITERS / dt
+    rates = []
+    for t in range(TRIALS):
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            state, m = step(state, batch, jax.random.fold_in(key, 100 + t * ITERS + i))
+        jax.block_until_ready(m["loss"])
+        rates.append(BATCH * ITERS / (time.perf_counter() - t0))
+    clips_per_sec = float(np.median(rates))
     print(
         json.dumps(
             {

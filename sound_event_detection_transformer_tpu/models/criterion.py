@@ -259,23 +259,48 @@ def set_criterion(
     )
     losses: Dict[str, jnp.ndarray] = {}
     mres = None
+    aux_mres = None
     num_boxes = jnp.asarray(1.0)
+    has_aux = "aux_logits" in outputs
     if strong_mask is not None:
-        mres = match(
-            outputs["pred_logits"],
-            outputs["pred_boxes"],
-            targets.labels,
-            targets.boxes,
-            targets.box_valid,
-            targets.ratio,
-            fine_tune=fine_tune,
-            normalize=normalize,
-            epsilon=lcfg.epsilon,
-            alpha=lcfg.alpha,
-            rng=rng,
-            **match_kw,
-        )
-        mres = jax.tree.map(jax.lax.stop_gradient, mres)
+        # Perf: the Hungarian solve is sequential-control-flow bound, so its
+        # device cost scales with the number of *calls*, not problems.  When
+        # the final layer uses plain matching (no fine-tune/normalize, the
+        # common case) we stack it with the aux layers and pay for ONE
+        # batched solve over (1 + A) x B problems instead of two calls.
+        joint = has_aux and not fine_tune and not normalize
+        if joint:
+            all_logits = jnp.concatenate(
+                [outputs["pred_logits"][None], outputs["aux_logits"]], axis=0
+            )
+            all_boxes = jnp.concatenate(
+                [outputs["pred_boxes"][None], outputs["aux_boxes"]], axis=0
+            )
+            all_m = jax.vmap(
+                lambda lg, bx: match(
+                    lg, bx, targets.labels, targets.boxes, targets.box_valid,
+                    targets.ratio, **match_kw,
+                )
+            )(all_logits, all_boxes)
+            all_m = jax.tree.map(jax.lax.stop_gradient, all_m)
+            mres = jax.tree.map(lambda x: x[0], all_m)
+            aux_mres = jax.tree.map(lambda x: x[1:], all_m)
+        else:
+            mres = match(
+                outputs["pred_logits"],
+                outputs["pred_boxes"],
+                targets.labels,
+                targets.boxes,
+                targets.box_valid,
+                targets.ratio,
+                fine_tune=fine_tune,
+                normalize=normalize,
+                epsilon=lcfg.epsilon,
+                alpha=lcfg.alpha,
+                rng=rng,
+                **match_kw,
+            )
+            mres = jax.tree.map(jax.lax.stop_gradient, mres)
         num_boxes = jnp.maximum((mres.num_boxes * strong).sum(), 1.0)
 
         lc, cerr = loss_labels(
@@ -299,13 +324,14 @@ def set_criterion(
 
     # auxiliary decoder layers: fresh plain matching per layer
     # (reference sedt.py:335-351; matcher called without fine_tune/normalize)
-    if "aux_logits" in outputs and strong_mask is not None:
-        def aux_one(logits_a, boxes_a, feat_a):
-            m = match(
-                logits_a, boxes_a, targets.labels, targets.boxes,
-                targets.box_valid, targets.ratio, **match_kw,
-            )
-            m = jax.tree.map(jax.lax.stop_gradient, m)
+    if has_aux and strong_mask is not None:
+        def aux_one(logits_a, boxes_a, feat_a, m):
+            if m is None:
+                m = match(
+                    logits_a, boxes_a, targets.labels, targets.boxes,
+                    targets.box_valid, targets.ratio, **match_kw,
+                )
+                m = jax.tree.map(jax.lax.stop_gradient, m)
             lc, _ = loss_labels(
                 logits_a, targets, m, strong, num_boxes,
                 num_classes, lcfg.eos_coef, fl, lcfg.alpha_fl, lcfg.gamma_fl,
@@ -320,13 +346,22 @@ def set_criterion(
             return out
 
         aux_feat = outputs.get("aux_feature")
-        if aux_feat is not None:
-            aux_losses = jax.vmap(aux_one)(
-                outputs["aux_logits"], outputs["aux_boxes"], aux_feat
-            )
+        if aux_mres is not None:
+            if aux_feat is not None:
+                aux_losses = jax.vmap(
+                    lambda l, b, f, m: aux_one(l, b, f, m)
+                )(outputs["aux_logits"], outputs["aux_boxes"], aux_feat, aux_mres)
+            else:
+                aux_losses = jax.vmap(
+                    lambda l, b, m: aux_one(l, b, None, m)
+                )(outputs["aux_logits"], outputs["aux_boxes"], aux_mres)
+        elif aux_feat is not None:
+            aux_losses = jax.vmap(
+                lambda l, b, f: aux_one(l, b, f, None)
+            )(outputs["aux_logits"], outputs["aux_boxes"], aux_feat)
         else:
             aux_losses = jax.vmap(
-                lambda l, b: aux_one(l, b, None)
+                lambda l, b: aux_one(l, b, None, None)
             )(outputs["aux_logits"], outputs["aux_boxes"])
         A = outputs["aux_logits"].shape[0]
         for i in range(A):

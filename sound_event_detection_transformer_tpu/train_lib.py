@@ -431,6 +431,10 @@ def run_supervised(args) -> Dict[int, float]:
     store_dir = osp.join(cfg.data.exp_root, cfg.data.dataset_name)
     model_dir = osp.join(store_dir, "model")
     os.makedirs(model_dir, exist_ok=True)
+    if getattr(args, "back_up", False):
+        from .utils.checkpoint import back_up_code
+
+        back_up_code(store_dir, cfg.train.info)
 
     # batch composition (train_sedt.py:197-222)
     if cfg.data.dataset_name == "urbansed" or args.synthetic_smoke:
@@ -474,6 +478,22 @@ def run_supervised(args) -> Dict[int, float]:
     )
     eval_step = make_eval_step(model, weight_dict, cfg, cfg.train.fusion_strategy)
 
+    # SPMD data parallelism over all local devices (replaces DDP,
+    # SURVEY.md §2.2); single-device runs skip the mesh entirely.
+    mesh = None
+    if jax.device_count() > 1 and cfg.data.batch_size % jax.device_count() == 0:
+        mesh = make_mesh(C.MeshConfig())
+        from .parallel.mesh import replicated
+
+        put_rep = lambda tree: jax.device_put(
+            tree, jax.tree.map(lambda _: replicated(mesh), tree)
+        )
+        state = TrainState(
+            put_rep(state.params), put_rep(state.frozen),
+            put_rep(state.opt_state), state.step,
+        )
+        log.info(f"data-parallel mesh: {dict(mesh.shape)}")
+
     best_saver = {m: SaveBest("sup") for m in cfg.train.fusion_strategy}
     early = EarlyStopping(
         patience=cfg.train.early_stopping_patience,
@@ -509,6 +529,8 @@ def run_supervised(args) -> Dict[int, float]:
                            cfg.features.max_len_seconds)
         ):
             rng, sk = jax.random.split(rng)
+            if mesh is not None:
+                batch = shard_batch_pytree(batch, mesh)
             state, m = train_step(state, batch, sk)
             losses.append(float(m["loss"]))
             if not np.isfinite(losses[-1]):

@@ -1,18 +1,32 @@
 """Test environment: force CPU with an 8-device virtual mesh.
 
-Must run before jax imports.  NOTE: the axon TPU plugin ignores
-``JAX_PLATFORMS``; ``JAX_PLATFORM_NAME`` is the knob that works here (see
-.claude/skills/verify/SKILL.md).
+Gotchas (see .claude/skills/verify/SKILL.md): the axon TPU plugin ignores
+``JAX_PLATFORMS``, and ``import pytest`` already imports jax through a plugin,
+so env vars set here are too late.  The backend is NOT initialized yet at
+conftest time, so ``jax.config.update`` + XLA_FLAGS still take effect.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+
+import jax
+
+jax.config.update("jax_platform_name", "cpu")
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the virtual CPU mesh; backend is "
+        f"{jax.default_backend()}"
+    )
+    yield
 
 
 @pytest.fixture(scope="session")

@@ -109,7 +109,9 @@ def test_postprocess_fusion_strategies(rng):
 
     p0 = postprocess(out, sizes, None)
     assert p0.boxes.shape == (B, Q, 2)
-    assert float(np.asarray(p0.boxes).max()) <= 10.0
+    # boxes scale to seconds; (c + l/2) can exceed 1 so ends may exceed the
+    # clip length — the decoder clips later (reference engine.py:287)
+    assert float(np.asarray(p0.boxes).max()) <= 15.0
 
     p1 = postprocess(out, sizes, tags, at_m=1)
     # tag-gated: sample 1 has all-zero tags -> all scores 0
@@ -164,17 +166,21 @@ def test_get_pseudo_labels_filters():
 
     B, Q, C = 1, 4, 3
     logits = np.full((B, Q, C + 1), -8.0, np.float32)
-    logits[0, 0, 0] = 8.0   # confident class 0
-    logits[0, 1, 1] = 8.0   # confident class 1 but too short
-    logits[0, 2, 2] = -1.0  # weak class 2 -> below threshold
+    logits[0, 0, 0] = 8.0   # confident class 0, long enough -> kept
+    logits[0, 1, 1] = 8.0   # confident class 1 but too short -> dropped
+    logits[0, 2, 2] = 8.0   # confident class 2, 1 s long -> kept
+    # query 3: uniform logits -> score 0.25 < threshold -> dropped
     boxes = np.array([[[0.3, 0.2], [0.6, 0.001], [0.8, 0.1], [0.5, 0.5]]],
                      np.float32)
     out = {"pred_logits": jnp.asarray(logits), "pred_boxes": jnp.asarray(boxes)}
     thr = jnp.full((C,), 0.5)
     targets, counts = get_pseudo_labels(out, thr, jnp.full((B,), 10.0), 4)
-    assert int(targets.box_valid.sum()) == 1
-    assert int(targets.labels[0, 0]) == 0
-    assert counts.tolist() == [1.0, 0.0, 0.0]
+    assert int(targets.box_valid.sum()) == 2
+    kept_labels = sorted(
+        np.asarray(targets.labels)[np.asarray(targets.box_valid)].tolist()
+    )
+    assert kept_labels == [0, 2]
+    assert counts.tolist() == [1.0, 0.0, 1.0]
 
 
 def test_ema_update():
