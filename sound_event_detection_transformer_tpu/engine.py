@@ -94,11 +94,23 @@ def make_train_step(
     normalize: bool = False,
     fl: bool = False,
     augment_on: bool = True,
+    frontend_fn: Optional[Callable] = None,
 ) -> Callable:
-    """Jitted supervised step (reference engine.py:44-85, one iteration)."""
+    """Jitted supervised step (reference engine.py:44-85, one iteration).
+
+    With ``frontend_fn`` (see ``ops.frontend.make_frontend_fn``),
+    ``batch.feats`` carries raw waveforms [B, num_samples] and featurization
+    fuses into the same XLA program as the model (the north-star path).
+    """
 
     def step(state: TrainState, batch: Batch, rng: jax.Array):
         r_aug, r_drop, r_patch, r_match = jax.random.split(rng, 4)
+        if frontend_fn is not None:
+            feats = frontend_fn(batch.feats)
+            batch = batch._replace(
+                feats=feats,
+                pad_mask=jnp.zeros(feats.shape[:2], bool),
+            )
         if augment_on:
             batch = _apply_augment(cfg, batch, r_aug)
 

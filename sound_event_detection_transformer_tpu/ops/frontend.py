@@ -185,3 +185,42 @@ def waveform_to_logmel(
 def batch_waveform_to_logmel(ys: jnp.ndarray, **kw) -> jnp.ndarray:
     """Vmapped frontend over a batch [B, num_samples] -> [B, T, n_mels]."""
     return jax.vmap(lambda y: waveform_to_logmel(y, **kw))(ys)
+
+
+def make_frontend_fn(
+    sr: int,
+    n_fft: int,
+    n_window: int,
+    hop: int,
+    n_mels: int,
+    max_frames: int,
+    scaler_mean: Optional[np.ndarray] = None,
+    scaler_std: Optional[np.ndarray] = None,
+    compute_log: bool = True,
+):
+    """Build the fused in-graph frontend: raw waveforms [B, num_samples] ->
+    normalized model input [B, max_frames, n_mels, 1].
+
+    This is the BASELINE.json north-star path: featurization compiles into the
+    same XLA program as the model, so the host pipeline ships raw audio and
+    the MXU does the STFT.  Numerics match the offline .npy cache
+    (``data/features.logmel_numpy``) + Scaler.normalize.
+    """
+    mean = None if scaler_mean is None else jnp.asarray(scaler_mean, jnp.float32)
+    std = None if scaler_std is None else jnp.asarray(scaler_std, jnp.float32)
+
+    def fn(waveforms: jnp.ndarray) -> jnp.ndarray:
+        mel = batch_waveform_to_logmel(
+            waveforms, sr=sr, n_fft=n_fft, n_window=n_window, hop=hop,
+            n_mels=n_mels, compute_log=compute_log,
+        )  # [B, T, n_mels]
+        t = mel.shape[1]
+        if t < max_frames:
+            mel = jnp.pad(mel, ((0, 0), (0, max_frames - t), (0, 0)))
+        else:
+            mel = mel[:, :max_frames, :]
+        if mean is not None:
+            mel = (mel - mean) / std
+        return mel[..., None]
+
+    return fn

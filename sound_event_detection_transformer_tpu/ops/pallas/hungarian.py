@@ -1,0 +1,148 @@
+"""Pallas TPU kernel for the batched Jonker-Volgenant assignment solve.
+
+The lax/vmap implementation in ``ops/matcher.py`` is correct but sequential-
+control-flow bound: ~n^2 tiny fused ops per solve.  This kernel runs one
+problem per grid program with the cost matrix and all solver state resident
+in VMEM, so the inner Dijkstra iterations are register/VMEM-speed VPU ops
+with no HBM traffic.
+
+The algorithm body (:func:`jv_body`) is the classical 1-indexed shortest-
+augmenting-path JV with every scatter update reformulated as a masked
+``where`` over [1, LANES] row vectors (TPU-friendly: 2-D iota, no dynamic
+scatters).  Storage is lane-padded to 128; columns beyond the logical n+1 are
+permanently masked.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover - TPU-only import
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+INF = 1.0e18
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def jv_body(row_getter, C: int, n1: int) -> jnp.ndarray:
+    """Solve one padded LSAP.
+
+    Args:
+      row_getter: fn(i) -> [1, C] row i of the 1-indexed cost matrix (the
+        (n+1)x(n+1) problem sits in the top-left; col 0 unused).  Abstracted
+        so the Pallas kernel can read rows straight from the VMEM ref
+        (Mosaic has no dynamic_slice on values).
+      C: lane-padded width.
+      n1: logical n + 1.
+    Returns:
+      p [1, C]: col -> row (1-indexed) assignment for cols 1..n1-1.
+    """
+    ids = lax.broadcasted_iota(jnp.int32, (1, C), 1)  # [1, C]
+    in_range = (ids >= 1) & (ids < n1)
+
+    def solve_row(i, carry):
+        u, v, p = carry  # each [1, C]
+        p = jnp.where(ids == 0, i, p)
+        minv = jnp.full((1, C), INF, dtype=jnp.float32)
+        # masks carried as f32 (Mosaic cannot carry i1 vectors through scf.while)
+        used = jnp.zeros((1, C), dtype=jnp.float32)
+        way = jnp.zeros((1, C), dtype=jnp.int32)
+        row_in_tree = jnp.zeros((1, C), dtype=jnp.float32)
+        j0 = jnp.int32(0)
+
+        def at(vec, j):
+            return jnp.sum(jnp.where(ids == j, vec, jnp.zeros_like(vec)))
+
+        def cond(state):
+            _, _, p, _, _, _, _, j0 = state
+            return at(p, j0) != 0
+
+        def body(state):
+            u, v, p, minv, used, way, row_in_tree, j0 = state
+            used = jnp.maximum(used, (ids == j0).astype(jnp.float32))
+            i0 = at(p, j0).astype(jnp.int32)
+            row_in_tree = jnp.maximum(
+                row_in_tree, (ids == i0).astype(jnp.float32)
+            )
+            a_row = row_getter(i0)
+            u_i0 = at(u, i0)
+            cur = a_row - u_i0 - v
+            valid = in_range & (used == 0.0)
+            better = valid & (cur < minv)
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
+            masked = jnp.where(valid, minv, INF)
+            j1 = jnp.argmin(masked[0]).astype(jnp.int32)
+            delta = jnp.min(masked)
+            u = u + delta * row_in_tree
+            v = v - delta * used
+            minv = minv - delta * (1.0 - used)
+            return (u, v, p, minv, used, way, row_in_tree, j1)
+
+        state = (u, v, p, minv, used, way, row_in_tree, j0)
+        u, v, p, minv, used, way, row_in_tree, j0 = lax.while_loop(
+            cond, body, state
+        )
+
+        def aug_cond(state):
+            _, j0 = state
+            return j0 != 0
+
+        def aug_body(state):
+            p, j0 = state
+            j1 = at(way, j0).astype(jnp.int32)
+            pj1 = at(p, j1).astype(jnp.int32)
+            p = jnp.where(ids == j0, pj1, p)
+            return (p, j1)
+
+        p, _ = lax.while_loop(aug_cond, aug_body, (p, j0))
+        return (u, v, p)
+
+    u0 = jnp.zeros((1, C), dtype=jnp.float32)
+    v0 = jnp.zeros((1, C), dtype=jnp.float32)
+    p0 = jnp.zeros((1, C), dtype=jnp.int32)
+    _, _, p = lax.fori_loop(1, n1, solve_row, (u0, v0, p0))
+    return p
+
+
+def _jv_kernel(cost_ref, out_ref, *, n1: int):
+    """One grid program = one assignment problem, fully in VMEM."""
+    C = cost_ref.shape[2]
+    row_getter = lambda i0: cost_ref[0, pl.ds(i0, 1), :].astype(jnp.float32)
+    p = jv_body(row_getter, C, n1)  # [1, C]
+    # output block is [1, 8, C] for sublane alignment; row 0 carries the result
+    out_ref[0] = jnp.broadcast_to(p - 1, (8, p.shape[1]))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_hungarian(cost: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Batched exact LSAP: cost [B, n, n] f32 -> row4col [B, n] int32."""
+    b, n, _ = cost.shape
+    n1 = n + 1
+    R = _round_up(n1, 8)
+    C = _round_up(n1, LANES)
+    # pad with +INF-ish outside the logical problem; kernel masks by n1
+    a = jnp.zeros((b, R, C), jnp.float32).at[:, 1 : n + 1, 1 : n + 1].set(cost)
+    mem = pltpu.VMEM if _HAS_PLTPU else None
+    kw = {"memory_space": mem} if mem is not None else {}
+    out = pl.pallas_call(
+        functools.partial(_jv_kernel, n1=n1),
+        out_shape=jax.ShapeDtypeStruct((b, 8, C), jnp.int32),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), **kw)],
+        out_specs=pl.BlockSpec((1, 8, C), lambda i: (i, 0, 0), **kw),
+        interpret=interpret,
+    )(a)
+    return out[:, 0, 1 : n + 1]

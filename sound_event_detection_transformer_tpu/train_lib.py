@@ -77,6 +77,7 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", default=400, type=int)
     p.add_argument("--epochs_ls", default=400, type=int)
     p.add_argument("--checkpoint_epochs", default=0, type=int)
+    p.add_argument("--eval_interval", default=1, type=int)
     p.add_argument("--lr_drop", default=200, type=int)
     p.add_argument("--fine_tune", action="store_true", default=False)
     p.add_argument("--normalize", action="store_true", default=False)
@@ -218,6 +219,7 @@ def args_to_config(args) -> SEDTConfig:
         ema_decay=args.ema_decay,
         seed=args.seed,
         checkpoint_epochs=args.checkpoint_epochs or None,
+        eval_interval=getattr(args, 'eval_interval', 1),
         fusion_strategy=tuple(args.fusion_strategy),
         fine_tune=args.fine_tune,
         normalize=args.normalize,
@@ -541,6 +543,13 @@ def run_supervised(args) -> Dict[int, float]:
             f"({len(losses)} steps, {time.time() - t0:.1f}s)"
         )
 
+        if cfg.train.checkpoint_epochs and (epoch + 1) % cfg.train.checkpoint_epochs == 0:
+            save_checkpoint(
+                osp.join(model_dir, f"{info}_{epoch}"),
+                {"params": state.params, "frozen": state.frozen, "epoch": epoch},
+            )
+        if (epoch + 1) % cfg.train.eval_interval != 0:
+            continue
         log.info("Metric on validation")
         metrics = evaluate(
             eval_step, state, data["validation"], cfg, enc, data["ref_valid"],
@@ -557,11 +566,6 @@ def run_supervised(args) -> Dict[int, float]:
             if early.apply(f1):
                 log.warning("EARLY STOPPING")
                 stop = True
-        if cfg.train.checkpoint_epochs and (epoch + 1) % cfg.train.checkpoint_epochs == 0:
-            save_checkpoint(
-                osp.join(model_dir, f"{info}_{epoch}"),
-                {"params": state.params, "frozen": state.frozen, "epoch": epoch},
-            )
         if stop:
             break
 

@@ -108,3 +108,22 @@ def test_fine_tune_relaxed_matching_adds_queries(rng):
         fine_tune=True, epsilon=-1e6, alpha=1e6, rng=jax.random.PRNGKey(0),
     )
     assert not np.asarray(tight.query_matched).any()
+
+
+def test_pallas_hungarian_interpret_parity(rng):
+    """The VMEM-resident Pallas JV kernel (interpret mode) is exact."""
+    from sound_event_detection_transformer_tpu.ops.pallas.hungarian import (
+        pallas_hungarian,
+    )
+
+    N, B = 16, 8
+    costs = np.full((B, N, N), BIG, dtype=np.float32)
+    for b in range(B):
+        n = rng.randint(2, N + 1)
+        costs[b, :n, :n] = rng.randn(n, n) * rng.uniform(0.1, 10)
+    out = np.asarray(pallas_hungarian(jnp.asarray(costs), interpret=True))
+    for b in range(B):
+        r, c = linear_sum_assignment(costs[b])
+        sc = costs[b][r, c].sum()
+        op = sum(costs[b][out[b, j], j] for j in range(N))
+        assert abs(op - sc) <= 1e-2 * max(1.0, abs(sc))
