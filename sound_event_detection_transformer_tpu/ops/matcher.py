@@ -180,6 +180,36 @@ def _square_pad(cost: jnp.ndarray) -> jnp.ndarray:
     return out.at[:, :Q, :M].set(cost)
 
 
+@jax.custom_jvp
+def _solve_lsap_flat(cost: jnp.ndarray) -> jnp.ndarray:
+    """[B, N, N] -> [B, N].  TPU: Pallas VMEM kernel (also sidesteps XLA's
+    very slow compilation of nested-vmapped while loops); elsewhere lax/vmap.
+    """
+    if jax.default_backend() == "tpu":
+        from .pallas.hungarian import pallas_hungarian
+
+        return pallas_hungarian(cost)
+    return batched_hungarian(cost)
+
+
+@_solve_lsap_flat.defjvp
+def _solve_lsap_jvp(primals, tangents):
+    # assignment indices are piecewise-constant in the costs: zero tangent
+    # (int32 output => symbolic float0).  Also gives Pallas a JVP rule.
+    (cost,) = primals
+    out = _solve_lsap_flat(cost)
+    zero = jnp.zeros(out.shape, dtype=jax.dtypes.float0)
+    return out, zero
+
+
+def solve_lsap(cost_sq: jnp.ndarray) -> jnp.ndarray:
+    """Square batched LSAP over arbitrary leading dims: [..., N, N] -> [..., N]."""
+    lead = cost_sq.shape[:-2]
+    n = cost_sq.shape[-1]
+    out = _solve_lsap_flat(cost_sq.reshape((-1, n, n)))
+    return out.reshape(lead + (n,))
+
+
 def assign(cost: jnp.ndarray, tgt_valid: jnp.ndarray) -> tuple:
     """Solve the batched LSAP and decode real query<->target pairs.
 
@@ -192,7 +222,7 @@ def assign(cost: jnp.ndarray, tgt_valid: jnp.ndarray) -> tuple:
     """
     B, Q, M = cost.shape
     sq = _square_pad(cost)
-    row4col = batched_hungarian(sq)  # [B, N]
+    row4col = solve_lsap(sq)  # [B, N]
     n = sq.shape[-1]
 
     # column j (< M, valid) matched to row r (< Q) is a real pair

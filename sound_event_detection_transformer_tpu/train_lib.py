@@ -468,8 +468,17 @@ def run_supervised(args) -> Dict[int, float]:
         )
         log.info("loaded self-supervised pretrain weights")
     if args.resume:
+        from flax import serialization
+
         ck = load_checkpoint(osp.join(model_dir, args.resume))
-        state = state._replace(params=ck["params"], frozen=ck["frozen"])
+        opt_state = state.opt_state
+        if "opt_state" in ck:  # full resume incl. optimizer (train_sedt.py:272-273)
+            opt_state = serialization.from_state_dict(opt_state, ck["opt_state"])
+        state = state._replace(
+            params=serialization.from_state_dict(state.params, ck["params"]),
+            frozen=serialization.from_state_dict(state.frozen, ck["frozen"]),
+            opt_state=opt_state,
+        )
         start_epoch = int(ck.get("epoch", 0))
         log.info(f"resumed from epoch {start_epoch}")
 
@@ -546,7 +555,8 @@ def run_supervised(args) -> Dict[int, float]:
         if cfg.train.checkpoint_epochs and (epoch + 1) % cfg.train.checkpoint_epochs == 0:
             save_checkpoint(
                 osp.join(model_dir, f"{info}_{epoch}"),
-                {"params": state.params, "frozen": state.frozen, "epoch": epoch},
+                {"params": state.params, "frozen": state.frozen,
+                 "opt_state": state.opt_state, "epoch": epoch},
             )
         if (epoch + 1) % cfg.train.eval_interval != 0:
             continue
@@ -561,6 +571,7 @@ def run_supervised(args) -> Dict[int, float]:
                 save_checkpoint(
                     osp.join(model_dir, f"{info}_{m}_best"),
                     {"params": state.params, "frozen": state.frozen,
+                     "opt_state": state.opt_state,
                      "epoch": epoch, f"event_based_f1_{m}": f1},
                 )
             if early.apply(f1):

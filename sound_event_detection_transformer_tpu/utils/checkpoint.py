@@ -37,6 +37,8 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
     if os.path.isdir(path):
         shutil.rmtree(path)  # migrate from older directory checkpoints
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # to_state_dict flattens namedtuples (e.g. optax opt_state) into dicts
+    state = serialization.to_state_dict(state)
     state = jax.tree.map(np.asarray, state)
     blob = serialization.msgpack_serialize(state)
     tmp = path + ".tmp"
