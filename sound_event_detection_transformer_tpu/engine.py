@@ -53,13 +53,18 @@ def init_train_state(
     B, T, F = batch_shape
     feats = jnp.zeros((B, T, F, 1), jnp.float32)
     pad = jnp.zeros((B, T), bool)
+    # jit the init: eager flax init dispatches hundreds of tiny ops, which is
+    # minutes of latency through a remote-device tunnel
     if patches_shape is not None:
-        variables = model.init(
-            {"params": rng, "dropout": rng, "patch_mask": rng},
-            feats, pad, jnp.zeros(patches_shape, jnp.float32), True,
-        )
+        variables = jax.jit(
+            lambda r, f, p, pt: model.init(
+                {"params": r, "dropout": r, "patch_mask": r}, f, p, pt, True
+            )
+        )(rng, feats, pad, jnp.zeros(patches_shape, jnp.float32))
     else:
-        variables = model.init({"params": rng, "dropout": rng}, feats, pad, True)
+        variables = jax.jit(
+            lambda r, f, p: model.init({"params": r, "dropout": r}, f, p, True)
+        )(rng, feats, pad)
     params = variables["params"]
     frozen = variables.get("frozen", {})
     return TrainState(params, frozen, tx.init(params), jnp.asarray(0))

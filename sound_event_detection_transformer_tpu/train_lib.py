@@ -601,12 +601,18 @@ def _init_params(model, cfg: SEDTConfig, rng):
     B, T, F = 1, cfg.model.max_frames, cfg.model.n_mels
     feats = jnp.zeros((B, T, F, 1), jnp.float32)
     pad = jnp.zeros((B, T), bool)
+    # jitted init (eager init is minutes of per-op latency over the tunnel)
     if cfg.model.self_sup:
         patches = jnp.zeros((B, cfg.model.num_patches, 128, 64, 1), jnp.float32)
-        v = model.init({"params": rng, "dropout": rng, "patch_mask": rng},
-                       feats, pad, patches, True)
+        v = jax.jit(
+            lambda r, f, p, pt: model.init(
+                {"params": r, "dropout": r, "patch_mask": r}, f, p, pt, True
+            )
+        )(rng, feats, pad, patches)
     else:
-        v = model.init({"params": rng, "dropout": rng}, feats, pad, True)
+        v = jax.jit(
+            lambda r, f, p: model.init({"params": r, "dropout": r}, f, p, True)
+        )(rng, feats, pad)
     return v["params"]
 
 
@@ -984,7 +990,7 @@ def run_audio_tag(args) -> float:
     )
     rng = jax.random.PRNGKey(cfg.train.seed)
     x0 = jnp.zeros((1, cfg.model.max_frames, cfg.model.n_mels, 1))
-    variables = model.init({"params": rng}, x0)
+    variables = jax.jit(lambda r, x: model.init({"params": r}, x))(rng, x0)
     sched = optax.exponential_decay(
         args.lr, args.lr_drop * max(len(train_data) // cfg.data.batch_size, 1),
         0.1, staircase=True,
