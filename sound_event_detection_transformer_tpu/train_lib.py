@@ -533,23 +533,28 @@ def run_supervised(args) -> Dict[int, float]:
             )
             info = info + "_ft"
 
+        from .utils.profiler import StepTimer
+
         t0 = time.time()
         losses = []
+        timer = StepTimer()
         for i, batch in enumerate(
             batch_iterator(concat, iter(sampler), cfg.model.max_events,
                            cfg.features.max_len_seconds)
         ):
+            timer.data_loaded()
             rng, sk = jax.random.split(rng)
             if mesh is not None:
                 batch = shard_batch_pytree(batch, mesh)
             state, m = train_step(state, batch, sk)
             losses.append(float(m["loss"]))
+            timer.step_done()
             if not np.isfinite(losses[-1]):
                 log.info(f"Loss is {losses[-1]}, stopping training")
                 raise SystemExit(1)
         log.info(
             f"Epoch {epoch}: loss {np.mean(losses):.4f} "
-            f"({len(losses)} steps, {time.time() - t0:.1f}s)"
+            f"({len(losses)} steps, {time.time() - t0:.1f}s) {timer.summary()}"
         )
 
         if cfg.train.checkpoint_epochs and (epoch + 1) % cfg.train.checkpoint_epochs == 0:
