@@ -62,6 +62,7 @@ def _conv(
     dilation: int = 1,
     name: str = None,
     use_bias: bool = False,
+    dtype=None,
 ) -> nn.Conv:
     pad = dilation * (kernel - 1) // 2
     return nn.Conv(
@@ -73,6 +74,7 @@ def _conv(
         use_bias=use_bias,
         name=name,
         kernel_init=nn.initializers.he_normal(),
+        dtype=dtype,
     )
 
 
@@ -83,19 +85,20 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        out = _conv(self.planes, 1, name="conv1")(x)
+        out = _conv(self.planes, 1, name="conv1", dtype=self.dtype)(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv2")(out)
+        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv2", dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.planes, name="bn2")(out)
         out = nn.relu(out)
-        out = _conv(self.planes * 4, 1, name="conv3")(out)
+        out = _conv(self.planes * 4, 1, name="conv3", dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
         if self.downsample:
-            sc = _conv(self.planes * 4, 1, self.stride, name="downsample_conv")(x)
+            sc = _conv(self.planes * 4, 1, self.stride, name="downsample_conv", dtype=self.dtype)(x)
             sc = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(sc)
         else:
             sc = x
@@ -109,16 +112,17 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv1")(x)
+        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv1", dtype=self.dtype)(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, 1, self.dilation, name="conv2")(out)
+        out = _conv(self.planes, 3, 1, self.dilation, name="conv2", dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.planes, name="bn2")(out)
         if self.downsample:
-            sc = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
+            sc = _conv(self.planes, 1, self.stride, name="downsample_conv", dtype=self.dtype)(x)
             sc = FrozenBatchNorm(self.planes, name="downsample_bn")(sc)
         else:
             sc = x
@@ -144,16 +148,18 @@ class ResNetBackbone(nn.Module):
 
     [B, T, F, 1] -> [B, ceil(T/16 or /32), ceil(F/16 or /32), num_channels]
     (stride 16 with ``dilation=True``, reference DC5 mode).
+    ``dtype``: computation dtype (e.g. bfloat16); params stay float32.
     """
 
     arch: str = "resnet50"
     dilation: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         block, stages, _ = _ARCHS[self.arch]
         # conv0: 1 -> 3 channels, 1x1, with bias (torch Conv2d default)
-        x = nn.Conv(3, (1, 1), use_bias=True, name="conv0")(x)
+        x = nn.Conv(3, (1, 1), use_bias=True, name="conv0", dtype=self.dtype)(x)
         x = nn.Conv(
             64,
             (7, 7),
@@ -162,6 +168,7 @@ class ResNetBackbone(nn.Module):
             use_bias=False,
             name="conv1",
             kernel_init=nn.initializers.he_normal(),
+            dtype=self.dtype,
         )(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
@@ -176,6 +183,7 @@ class ResNetBackbone(nn.Module):
             for bi in range(n_blocks):
                 x = block(
                     planes=p,
+                    dtype=self.dtype,
                     stride=s if bi == 0 else 1,
                     # torchvision applies the new dilation from the stage's
                     # *first* block when replace_stride_with_dilation is set

@@ -76,7 +76,14 @@ class SEDT(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.backbone = ResNetBackbone(cfg.backbone, cfg.dilation, name="backbone")
+        dtype = (
+            jnp.dtype(cfg.compute_dtype)
+            if cfg.compute_dtype != "float32"
+            else None
+        )
+        self.backbone = ResNetBackbone(
+            cfg.backbone, cfg.dilation, dtype=dtype, name="backbone"
+        )
         self.transformer = Transformer(
             d_model=cfg.hidden_dim,
             nhead=cfg.nheads,
@@ -85,6 +92,7 @@ class SEDT(nn.Module):
             dim_feedforward=cfg.dim_feedforward,
             dropout=cfg.dropout,
             pre_norm=cfg.pre_norm,
+            dtype=dtype,
             name="transformer",
         )
         n_queries = cfg.num_queries + 1 if cfg.dec_at else cfg.num_queries

@@ -24,9 +24,10 @@ import jax.numpy as jnp
 
 from ..ops.attention import scaled_dot_attention
 
-_dense = lambda d, name: nn.Dense(
-    d, kernel_init=nn.initializers.xavier_uniform(), name=name
-)
+def _dense(d, name, dtype=None):
+    return nn.Dense(
+        d, kernel_init=nn.initializers.xavier_uniform(), name=name, dtype=dtype
+    )
 
 
 class MultiHeadAttention(nn.Module):
@@ -35,6 +36,7 @@ class MultiHeadAttention(nn.Module):
     d_model: int
     nhead: int
     dropout: float = 0.0
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -48,15 +50,15 @@ class MultiHeadAttention(nn.Module):
         b, sq, _ = q_in.shape
         sk = k_in.shape[1]
         hd = self.d_model // self.nhead
-        q = _dense(self.d_model, "q_proj")(q_in).reshape(b, sq, self.nhead, hd)
-        k = _dense(self.d_model, "k_proj")(k_in).reshape(b, sk, self.nhead, hd)
-        v = _dense(self.d_model, "v_proj")(v_in).reshape(b, sk, self.nhead, hd)
+        q = _dense(self.d_model, "q_proj", self.dtype)(q_in).reshape(b, sq, self.nhead, hd)
+        k = _dense(self.d_model, "k_proj", self.dtype)(k_in).reshape(b, sk, self.nhead, hd)
+        v = _dense(self.d_model, "v_proj", self.dtype)(v_in).reshape(b, sk, self.nhead, hd)
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
         rate = self.dropout if not deterministic else 0.0
         rng = self.make_rng("dropout") if rate > 0.0 else None
         out = scaled_dot_attention(q, k, v, bias, dropout_rate=rate, dropout_rng=rng)
         out = out.transpose(0, 2, 1, 3).reshape(b, sq, self.d_model)
-        return _dense(self.d_model, "out_proj")(out)
+        return _dense(self.d_model, "out_proj", self.dtype)(out)
 
 
 def _activation(name: str):
@@ -68,13 +70,14 @@ class FFN(nn.Module):
     dim_feedforward: int
     dropout: float
     activation: str = "relu"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = _dense(self.dim_feedforward, "linear1")(x)
+        h = _dense(self.dim_feedforward, "linear1", self.dtype)(x)
         h = _activation(self.activation)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return _dense(self.d_model, "linear2")(h)
+        return _dense(self.d_model, "linear2", self.dtype)(h)
 
 
 class EncoderLayer(nn.Module):
@@ -84,12 +87,15 @@ class EncoderLayer(nn.Module):
     dropout: float
     activation: str = "relu"
     pre_norm: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, src, pos, key_bias, deterministic=True):
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="self_attn")
-        ffn = FFN(self.d_model, self.dim_feedforward, self.dropout, self.activation, name="ffn")
+        attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                  self.dtype, name="self_attn")
+        ffn = FFN(self.d_model, self.dim_feedforward, self.dropout,
+                  self.activation, self.dtype, name="ffn")
         n1 = nn.LayerNorm(name="norm1")
         n2 = nn.LayerNorm(name="norm2")
         if self.pre_norm:  # transformer.py:192-204
@@ -113,15 +119,19 @@ class DecoderLayer(nn.Module):
     dropout: float
     activation: str = "relu"
     pre_norm: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(
         self, tgt, memory, query_pos, pos, mem_key_bias, self_attn_bias, deterministic=True
     ):
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        sa = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="self_attn")
-        ca = MultiHeadAttention(self.d_model, self.nhead, self.dropout, name="cross_attn")
-        ffn = FFN(self.d_model, self.dim_feedforward, self.dropout, self.activation, name="ffn")
+        sa = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                self.dtype, name="self_attn")
+        ca = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                self.dtype, name="cross_attn")
+        ffn = FFN(self.d_model, self.dim_feedforward, self.dropout,
+                  self.activation, self.dtype, name="ffn")
         n1 = nn.LayerNorm(name="norm1")
         n2 = nn.LayerNorm(name="norm2")
         n3 = nn.LayerNorm(name="norm3")
@@ -162,6 +172,7 @@ class Transformer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     pre_norm: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -182,6 +193,7 @@ class Transformer(nn.Module):
                 self.dropout,
                 self.activation,
                 self.pre_norm,
+                self.dtype,
                 name=f"encoder_layer_{i}",
             )(out, pos, key_padding_bias, deterministic)
         if self.pre_norm:  # encoder_norm exists only when normalize_before
@@ -202,6 +214,7 @@ class Transformer(nn.Module):
                 self.dropout,
                 self.activation,
                 self.pre_norm,
+                self.dtype,
                 name=f"decoder_layer_{i}",
             )(tgt, memory, query, pos, key_padding_bias, sa_bias, deterministic)
             intermediate.append(decoder_norm(tgt))

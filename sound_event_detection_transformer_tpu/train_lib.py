@@ -108,6 +108,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--nheads", default=8, type=int)
     p.add_argument("--num_queries", default=20, type=int)
     p.add_argument("--pre_norm", action="store_false", default=True)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="activation/matmul dtype; params stay float32")
     # SP-SEDT
     p.add_argument("--feature_recon", action="store_true", default=False)
     p.add_argument("--query_shuffle", action="store_true", default=False)
@@ -172,6 +175,7 @@ def args_to_config(args) -> SEDTConfig:
         dec_at=args.dec_at,
         pooling=args.pooling,
         self_sup=args.self_sup,
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
         feature_recon=args.feature_recon,
         query_shuffle=args.query_shuffle,
         num_patches=args.num_patches,

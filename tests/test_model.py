@@ -190,3 +190,21 @@ def test_ema_update():
     new = {"w": jnp.zeros((3,))}
     out = ema_update(ema, new, 0.9)
     np.testing.assert_allclose(np.asarray(out["w"]), 0.9)
+
+
+def test_bfloat16_compute_path(rng):
+    """bf16 activations: finite f32 outputs, params stay f32."""
+    cfg = SEDTConfig.tiny_test()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"))
+    model, _ = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(key, (2, cfg.model.max_frames, cfg.model.n_mels, 1))
+    pad = jnp.zeros((2, cfg.model.max_frames), bool)
+    variables = model.init({"params": key, "dropout": key}, feats, pad, True)
+    assert all(
+        v.dtype == jnp.float32 for v in jax.tree.leaves(variables["params"])
+    )
+    out = model.apply(variables, feats, pad, True)
+    assert out["pred_logits"].dtype == jnp.float32
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
+    assert np.isfinite(np.asarray(out["at"])).all()
