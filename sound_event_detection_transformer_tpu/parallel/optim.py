@@ -112,7 +112,13 @@ def make_optimizer(
         },
         labels,
     )
-    return optax.chain(optax.clip_by_global_norm(tcfg.clip_max_norm), tx)
+    tx = optax.chain(optax.clip_by_global_norm(tcfg.clip_max_norm), tx)
+    if tcfg.accumulating_gradient_steps > 1:
+        # gradient accumulation (reference engine.py:76-80); optax MultiSteps
+        # averages the accumulated grads rather than summing - equivalent up
+        # to an lr rescale
+        tx = optax.MultiSteps(tx, tcfg.accumulating_gradient_steps)
+    return tx
 
 
 def ema_update(ema_params: Any, params: Any, decay: float) -> Any:

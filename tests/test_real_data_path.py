@@ -1,0 +1,96 @@
+"""Real-data pipeline: generated wav files -> SedData features -> DataLoadDf
+-> dense batches (the path real datasets take; reference SedData.py flow)."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sound_event_detection_transformer_tpu.data.dataset import DataLoadDf, collate
+from sound_event_detection_transformer_tpu.data.encoder import BoxEncoder
+from sound_event_detection_transformer_tpu.data.features import (
+    SedData,
+    get_dfs,
+    read_audio,
+)
+from sound_event_detection_transformer_tpu.data.scaler import Scaler
+from sound_event_detection_transformer_tpu.data.transforms import get_transforms
+
+CLASSES = ["car_horn", "dog_bark", "siren"]
+SR = 16000  # use the dcase geometry: faster than 44.1 kHz in tests
+
+
+def _write_dataset(root, rng, n=4):
+    from scipy.io import wavfile
+
+    adir = os.path.join(root, "audio", "train")
+    os.makedirs(adir, exist_ok=True)
+    rows = []
+    for i in range(n):
+        fname = f"clip_{i}.wav"
+        y = rng.randn(SR * 10).astype(np.float32) * 0.01
+        c = i % len(CLASSES)
+        on, dur = 2.0 + i * 0.5, 1.5
+        t = np.arange(int(dur * SR)) / SR
+        y[int(on * SR):int(on * SR) + len(t)] += 0.2 * np.sin(
+            2 * np.pi * 400 * (c + 1) * t
+        ).astype(np.float32)
+        wavfile.write(os.path.join(adir, fname), SR, (y * 32767).astype(np.int16))
+        rows.append((fname, on, on + dur, CLASSES[c]))
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    tsv = os.path.join(mdir, "train.tsv")
+    pd.DataFrame(rows, columns=["filename", "onset", "offset", "event_label"]).to_csv(
+        tsv, sep="\t", index=False
+    )
+    return tsv
+
+
+def test_wav_to_dense_batch(tmp_path, rng):
+    root = str(tmp_path / "ds")
+    tsv = _write_dataset(root, rng)
+
+    ds = SedData("dcase", base_feature_dir=os.path.join(root, "features"),
+                 compute_log=False)
+    df = ds.initialize_and_get_df(tsv)
+    assert len(df) == 4 and df.feature_filename.nunique() == 4
+    feat = np.load(df.feature_filename.iloc[0])
+    assert feat.shape == (1 + SR * 10 // 323, 64)  # 496 frames (config.py:44)
+
+    # cache hit: second init must not recompute (same mtimes)
+    mtime = os.path.getmtime(df.feature_filename.iloc[0])
+    df2 = ds.initialize_and_get_df(tsv)
+    assert os.path.getmtime(df2.feature_filename.iloc[0]) == mtime
+
+    enc = BoxEncoder(CLASSES, seconds=10.0)
+    base_tf = get_transforms(496, None, compute_log=True)
+    pre = DataLoadDf(df, enc.encode_strong_df, base_tf)
+    scaler = Scaler()
+    scaler.calculate_scaler(pre)
+    tf = get_transforms(496, scaler, compute_log=True)
+    data = DataLoadDf(df, enc.encode_strong_df, tf, in_memory=True)
+
+    batch = collate([data[i] for i in range(4)], max_events=8, seconds=10.0)
+    assert batch.feats.shape == (4, 496, 64, 1)
+    assert batch.strong.all()
+    # each clip has exactly one event with correct normalized box
+    assert (np.asarray(batch.targets.box_valid.sum(-1)) == 1).all()
+    c0 = float(batch.targets.boxes[0, 0, 0])
+    assert abs(c0 - (2.0 + 0.75) / 10.0) < 1e-5
+    # normalized features roughly standardized
+    assert abs(float(np.mean(batch.feats))) < 1.0
+
+
+def test_read_audio_resample(tmp_path, rng):
+    from scipy.io import wavfile
+
+    p = str(tmp_path / "a.wav")
+    y = (rng.randn(44100) * 3000).astype(np.int16)
+    wavfile.write(p, 44100, y)
+    audio, fs = read_audio(p, target_fs=16000)
+    assert fs == 16000
+    assert abs(len(audio) - 16000) <= 2
+    # stereo downmix
+    wavfile.write(p, 44100, np.stack([y, y], -1))
+    audio2, _ = read_audio(p, target_fs=16000)
+    np.testing.assert_allclose(audio, audio2, atol=1e-4)

@@ -204,3 +204,23 @@ def test_synthetic_roundtrip_decoding():
         fname = ds.filenames.iloc[b]
         rows = ref[ref.filename == fname]
         assert int(t.box_valid[b].sum()) == len(rows)
+
+
+def test_gradient_accumulation():
+    """With accumulation k, params update only every k-th step."""
+    from sound_event_detection_transformer_tpu.config import TrainConfig
+    import optax
+
+    cfg = SEDTConfig.tiny_test()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                accumulating_gradient_steps=2))
+    model, wd, tx, state = _setup(cfg)
+    batch, _ = _synthetic_batch(cfg)
+    step = make_train_step(model, wd, cfg, tx)
+    p0 = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    p1 = np.asarray(jax.tree.leaves(state.params)[0])
+    np.testing.assert_array_equal(p0, p1)  # step 1 of 2: accumulate only
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    p2 = np.asarray(jax.tree.leaves(state.params)[0])
+    assert np.abs(p2 - p0).max() > 0  # step 2 of 2: applied
