@@ -717,7 +717,19 @@ def run_spsedt(args) -> None:
         start_epoch = int(ck.get("epoch", 0))
 
     train_step = make_train_step(model, weight_dict, cfg, tx, augment_on=False)
-    from .parallel.mesh import process_is_main
+    from .parallel.mesh import process_is_main, replicated
+
+    mesh = None
+    if jax.device_count() > 1 and cfg.data.batch_size % jax.device_count() == 0:
+        mesh = make_mesh(C.MeshConfig())
+        put_rep = lambda tree: jax.device_put(
+            tree, jax.tree.map(lambda _: replicated(mesh), tree)
+        )
+        state = TrainState(
+            put_rep(state.params), put_rep(state.frozen),
+            put_rep(state.opt_state), state.step,
+        )
+        log.info(f"data-parallel mesh: {dict(mesh.shape)} (replaces DDP)")
 
     for epoch in range(start_epoch, args.epochs):
         t0, losses = time.time(), []
@@ -733,6 +745,8 @@ def run_spsedt(args) -> None:
             )
             # patch boxes ARE the targets in self-sup (labels all 0)
             rng, sk = jax.random.split(rng)
+            if mesh is not None:
+                batch = shard_batch_pytree(batch, mesh)
             state, m = train_step(state, batch, sk)
             losses.append(float(m["loss"]))
             if not np.isfinite(losses[-1]):
