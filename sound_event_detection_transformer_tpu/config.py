@@ -12,7 +12,7 @@ import json
 import math
 import os
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 # DCASE2019 task4 class list (reference derives it from validation.tsv at import
 # time, /root/reference/config.py:63).  Hardcoded here so the framework works

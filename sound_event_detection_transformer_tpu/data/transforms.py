@@ -8,11 +8,11 @@ instead — see ``ops/augment.py``.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 
-from .scaler import Scaler, ScalerPerAudio
+from .scaler import Scaler
 
 
 def apply_log(data: np.ndarray) -> np.ndarray:

@@ -26,7 +26,6 @@ from .models import set_criterion, total_loss
 from .models.criterion import DenseTargets
 from .models.postprocess import postprocess
 from .ops import augment
-from .parallel.optim import ema_update
 
 
 class TrainState(NamedTuple):

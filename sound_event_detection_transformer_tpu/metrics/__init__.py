@@ -6,7 +6,7 @@ native scorers (sed_eval / psds_eval / dcase_util are not vendored here; see
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import numpy as np
 

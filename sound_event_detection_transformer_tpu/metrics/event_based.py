@@ -18,7 +18,7 @@ here, so this module re-implements the exact matching rules of
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -18,8 +18,6 @@ Weights can be imported from a torchvision ``resnet*.pth`` state_dict via
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -13,8 +13,6 @@ the reference driven by JAX/XLA:
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ solution scipy computes.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 import re
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
