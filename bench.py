@@ -41,13 +41,12 @@ def main() -> None:
 
     import dataclasses
 
+    # Benchmarks the float32 default — the accuracy-parity configuration.
+    # (--compute_dtype bfloat16 is ~17% faster with matching loss curves, but
+    # synthetic runs showed a localization-precision regression, so it stays
+    # opt-in until validated on real data.)
     cfg = _flagship_cfg(tiny=False)
-    cfg = cfg.replace(
-        data=dataclasses.replace(cfg.data, batch_size=BATCH),
-        # bf16 activations (params f32) — the standard TPU training setup;
-        # loss curves match f32 and it is ~17% faster
-        model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"),
-    )
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=BATCH))
     model, wd = build_model(cfg)
     B, T, F = BATCH, cfg.model.max_frames, cfg.model.n_mels
 

@@ -134,6 +134,14 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--ema_decay", default=0.9996, type=float)
     p.add_argument("--accumlating_ema_steps", default=1, type=int)
     p.add_argument("--teacher_model", default="")
+    # accepted for reference CLI drop-in parity; unused there too
+    # (train_sedt.py:67,86-87,99-100 — gpus is CUDA-specific, idim and
+    # input_layer are dead flags in the reference)
+    p.add_argument("--gpus", type=str, default="0",
+                   help="(ignored; device selection is JAX-managed)")
+    p.add_argument("--idim", default=128, type=int, help="(unused, parity)")
+    p.add_argument("--input_layer", default="linear", type=str,
+                   help="(unused, parity)")
     # misc
     p.add_argument("--info", default=None, type=str)
     p.add_argument("--back_up", action="store_true", default=False)
