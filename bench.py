@@ -42,9 +42,9 @@ def main() -> None:
     import dataclasses
 
     # Benchmarks the float32 default — the accuracy-parity configuration.
-    # (--compute_dtype bfloat16 is ~17% faster with matching loss curves, but
-    # synthetic runs showed a localization-precision regression, so it stays
-    # opt-in until validated on real data.)
+    # (--compute_dtype bfloat16 is ~17% faster with matching loss curves and
+    # no known regression — an identical-hyper f32 control reproduced the
+    # same synthetic metrics — but stays opt-in until real-data validation.)
     cfg = _flagship_cfg(tiny=False)
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=BATCH))
     model, wd = build_model(cfg)

@@ -232,17 +232,27 @@ def batch_iterator(
     unlabel_streams: Optional[Sequence[int]] = None,
     return_indexes: bool = False,
     prefetch: bool = True,
+    pad_last: bool = True,
 ) -> Iterator[Batch]:
-    """Compose sampler + collate (+ prefetch thread) into a Batch stream."""
+    """Compose sampler + collate (+ prefetch thread) into a Batch stream.
+
+    ``pad_last``: repeat the final sample to keep the last batch full-sized
+    (avoids a second jit compilation for the ragged tail; padded rows carry
+    index -1 so eval decoding skips them).
+    """
 
     def gen():
+        pad_counts = {}
         if isinstance(sampler_or_batchsize, int):
             n = len(dataset)
             bs = sampler_or_batchsize
-            index_batches = [
-                list(range(i, min(i + bs, n))) for i in range(0, n, bs)
-            ]
-            index_batches = [b for b in index_batches if len(b) == bs or True]
+            index_batches = []
+            for i in range(0, n, bs):
+                b = list(range(i, min(i + bs, n)))
+                if pad_last and len(b) < bs:
+                    pad_counts[len(index_batches)] = bs - len(b)
+                    b = b + [b[-1]] * (bs - len(b))
+                index_batches.append(b)
         else:
             index_batches = sampler_or_batchsize
         cluster_of = None
@@ -255,16 +265,18 @@ def batch_iterator(
                         return k
                 return -1
 
-        for idxs in index_batches:
+        for bi, idxs in enumerate(index_batches):
             samples = [dataset[i] for i in idxs]
             uflags = None
             if cluster_of is not None:
                 uflags = np.array(
                     [cluster_of(i) in unlabel_streams for i in idxs]
                 )
-            yield collate(
-                samples, max_events, seconds, uflags,
-                idxs if return_indexes else None,
-            )
+            out_idxs = None
+            if return_indexes:
+                out_idxs = list(idxs)
+                for k in range(pad_counts.get(bi, 0)):
+                    out_idxs[len(out_idxs) - 1 - k] = -1  # padded row marker
+            yield collate(samples, max_events, seconds, uflags, out_idxs)
 
     return iter(Prefetcher(gen)) if prefetch else gen()

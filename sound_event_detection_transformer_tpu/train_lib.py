@@ -249,7 +249,11 @@ def args_to_config(args) -> SEDTConfig:
 
 
 def build_synthetic_data(cfg: SEDTConfig, args) -> Dict:
-    """Synthetic train/validation datasets + encoder (smoke path)."""
+    """Synthetic train/validation datasets + encoder (smoke path).
+
+    dcase mode mirrors the reference's [synthetic-strong, weak] stream layout
+    (train_sedt.py:213-216) so the weak-loss path is exercised end to end.
+    """
     classes = list(cfg.data.classes)
     enc = BoxEncoder(classes, seconds=cfg.features.max_len_seconds)
     frames, mels = cfg.model.max_frames, cfg.model.n_mels
@@ -260,7 +264,12 @@ def build_synthetic_data(cfg: SEDTConfig, args) -> Dict:
         seconds=cfg.features.max_len_seconds, seed=seed,
         num_patches=num_patches, **kw,
     )
-    train = mk(args.smoke_clips, 0)
+    if cfg.data.dataset_name == "dcase" and cfg.data.n_weak > 0 and not cfg.model.self_sup:
+        strong = mk(args.smoke_clips, 0)
+        weak = mk(max(cfg.data.n_weak * 2, 4), 2, weak_only=True)
+        train = ConcatDataset([strong, weak])
+    else:
+        train = mk(args.smoke_clips, 0)
     valid = mk(max(8, args.smoke_clips // 4), 1)
     return {
         "train": train,
@@ -375,6 +384,8 @@ def evaluate(
         if at and "at" in res:
             tags = np.asarray(res["at"]) > 0.5
             for j, row in enumerate(tags):
+                if idxs[j] < 0:  # padded tail row
+                    continue
                 for lbl in decoder.decode_weak(row.astype(int)):
                     audio_tag_rows.append(
                         dict(filename=filenames.iloc[idxs[j]], event_label=lbl,
@@ -386,6 +397,8 @@ def evaluate(
             labels = np.asarray(pp.labels)
             boxes = np.asarray(pp.boxes)
             for j in range(len(idxs)):
+                if idxs[j] < 0:  # padded tail row
+                    continue
                 pred = decoder.decode_strong(
                     {"scores": scores[j], "labels": labels[j], "boxes": boxes[j]},
                     threshold=0.5,
@@ -451,14 +464,15 @@ def run_supervised(args) -> Dict[int, float]:
         back_up_code(store_dir, cfg.train.info)
 
     # batch composition (train_sedt.py:197-222)
-    if cfg.data.dataset_name == "urbansed" or args.synthetic_smoke:
-        concat = ConcatDataset([data["train"]]) if not isinstance(
-            data["train"], ConcatDataset
-        ) else data["train"]
-        batch_sizes = [cfg.data.batch_size]
-    else:
-        concat = data["train"]
+    concat = (
+        data["train"]
+        if isinstance(data["train"], ConcatDataset)
+        else ConcatDataset([data["train"]])
+    )
+    if len(concat.datasets) == 2:
         batch_sizes = [cfg.data.batch_size - cfg.data.n_weak, cfg.data.n_weak]
+    else:
+        batch_sizes = [cfg.data.batch_size]
     sampler = MultiStreamBatchSampler(concat, batch_sizes, seed=cfg.train.seed)
     steps_per_epoch = max(len(sampler), 1)
 
