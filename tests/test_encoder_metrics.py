@@ -149,3 +149,18 @@ def test_psds_basic():
     assert res.value > 0.9  # perfect detector ~ 1.0
     macro_f, per_class = psds.compute_macro_f_score(ref.copy())
     assert macro_f == 1.0
+
+
+def test_batch_iterator_pads_last_batch():
+    from sound_event_detection_transformer_tpu.data.dataset import batch_iterator
+    from sound_event_detection_transformer_tpu.data.synthetic import SyntheticDataset
+
+    enc = BoxEncoder(CLASSES, seconds=10.0)
+    ds = SyntheticDataset(5, CLASSES, 32, 16, enc.encode_strong_df,
+                          max_events=2, seed=0)
+    batches = list(batch_iterator(ds, 4, 4, 10.0, return_indexes=True,
+                                  prefetch=False))
+    assert len(batches) == 2
+    assert batches[0].feats.shape[0] == 4 and batches[1].feats.shape[0] == 4
+    # tail rows are marked -1 for decode skipping
+    assert batches[1].indexes.tolist() == [4, -1, -1, -1]
