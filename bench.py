@@ -32,6 +32,11 @@ TRIALS = 3  # median-of-trials damps host-contention noise
 
 
 def main() -> None:
+    from sound_event_detection_transformer_tpu.utils.compilation_cache import (
+        enable as enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     from __graft_entry__ import _flagship_cfg
     from sound_event_detection_transformer_tpu.engine import (
         Batch, TrainState, make_train_step,

@@ -48,7 +48,10 @@ from .utils.checkpoint import (
     load_pretrain_into,
     save_checkpoint,
 )
+from .utils.compilation_cache import enable as enable_compilation_cache
 from .utils.logger import create_logger, set_logger
+
+enable_compilation_cache()
 
 
 def get_parser() -> argparse.ArgumentParser:
