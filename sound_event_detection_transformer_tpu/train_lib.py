@@ -81,6 +81,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs_ls", default=400, type=int)
     p.add_argument("--checkpoint_epochs", default=0, type=int)
     p.add_argument("--eval_interval", default=1, type=int)
+    p.add_argument("--psds", action="store_true", default=False,
+                   help="compute PSDS over multiple decode thresholds at the final test")
     p.add_argument("--lr_drop", default=200, type=int)
     p.add_argument("--fine_tune", action="store_true", default=False)
     p.add_argument("--normalize", action="store_true", default=False)
@@ -367,6 +369,7 @@ def evaluate(
     cal_seg: bool = False,
     cal_clip: bool = False,
     batch_size: Optional[int] = None,
+    psds_thresholds: Optional[Sequence[float]] = None,
 ) -> Dict[int, float]:
     """Full eval: jitted forward+postprocess, host decode, native metrics
     (reference engine.py:199-297)."""
@@ -376,6 +379,7 @@ def evaluate(
     bs = batch_size or cfg.data.batch_size
     audio_tag_rows = []
     dec_rows: Dict[int, List] = {m: [] for m in fusion_strategy}
+    raw: Dict[int, List] = {m: [] for m in fusion_strategy}  # for PSDS OPs
     filenames = dataset.filenames
     t0 = time.time()
     for batch in batch_iterator(
@@ -399,6 +403,8 @@ def evaluate(
             scores = np.asarray(pp.scores)
             labels = np.asarray(pp.labels)
             boxes = np.asarray(pp.boxes)
+            if psds_thresholds is not None:
+                raw[m].append((scores, labels, boxes, idxs.copy()))
             for j in range(len(idxs)):
                 if idxs[j] < 0:  # padded tail row
                     continue
@@ -435,6 +441,39 @@ def evaluate(
         metrics[m] = compute_metrics(
             pred_df, ref_df, cal_seg=cal_seg, cal_clip=cal_clip
         )
+        if psds_thresholds is not None:
+            # PSDS over multiple decode-threshold operating points
+            # (reference metrics.py:325-330 / psds_score, never wired into
+            # the reference CLIs; available here via --psds)
+            from .metrics import PSDSEval, psds_score
+
+            meta = pd.DataFrame(
+                {"filename": ref_df.filename.unique(),
+                 "duration": cfg.features.max_len_seconds}
+            )
+            psds = PSDSEval(ground_truth=ref_df, metadata=meta)
+            for thr in psds_thresholds:
+                rows = []
+                for scores, labels, boxes, idxs in raw[m]:
+                    for j in range(len(idxs)):
+                        if idxs[j] < 0:
+                            continue
+                        for lbl, on, off, sc in decoder.decode_strong(
+                            {"scores": scores[j], "labels": labels[j],
+                             "boxes": boxes[j]}, threshold=thr,
+                        ):
+                            rows.append(
+                                (filenames.iloc[idxs[j]],
+                                 float(np.clip(on, 0, cfg.features.max_len_seconds)),
+                                 float(np.clip(off, 0, cfg.features.max_len_seconds)),
+                                 lbl)
+                            )
+                psds.add_operating_point(
+                    pd.DataFrame(rows, columns=["filename", "onset", "offset",
+                                                "event_label"])
+                )
+            log.info(f"PSDS over {len(psds_thresholds)} operating points:")
+            psds_score(psds)
     return metrics
 
 
@@ -625,9 +664,14 @@ def run_supervised(args) -> Dict[int, float]:
                  data["ref_valid"], [m], at=cfg.model.dec_at, cal_seg=True,
                  cal_clip=True)
         log.info("Metric on eval")
-        metrics = evaluate(eval_step, state, data["eval"], cfg, enc,
-                           data["ref_eval"], [m], at=cfg.model.dec_at,
-                           cal_seg=True, cal_clip=True)
+        metrics = evaluate(
+            eval_step, state, data["eval"], cfg, enc, data["ref_eval"], [m],
+            at=cfg.model.dec_at, cal_seg=True, cal_clip=True,
+            psds_thresholds=(
+                tuple(np.arange(0.1, 1.0, 0.1)) if getattr(args, "psds", False)
+                else None
+            ),
+        )
     return metrics
 
 
