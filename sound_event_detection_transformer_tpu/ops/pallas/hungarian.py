@@ -146,3 +146,156 @@ def pallas_hungarian(cost: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
         interpret=interpret,
     )(a)
     return out[:, 0, 1 : n + 1]
+
+
+# ---------------------------------------------------------------------------
+# Sublane-packed variant: SUBS problems solved simultaneously per program.
+#
+# The single-problem kernel keeps all state in [1, C] row vectors, using 1/8
+# of the VPU's sublanes, and the grid serializes on the one TensorCore per
+# chip.  Packing SUBS=8 problems into [SUBS, C] state vectorizes the entire
+# Dijkstra iteration across sublanes; programs iterate until the slowest of
+# their 8 problems converges (per-problem `active` masks freeze finished
+# lanes).
+#
+# STATUS: correct (scipy parity in interpret mode, tests) but BLOCKED from
+# compiling on this Mosaic toolchain by a layout-inference bug: while-loop
+# carries holding lane-replicated values fail with "Invalid relayout:
+# Non-singleton logical dimension is replicated in destination but not in
+# source" regardless of [S,1] vs widened [S,C] state or optimization
+# barriers.  ``solve_lsap`` therefore dispatches to the single-problem
+# kernel; revisit on a newer toolchain (est. ~5x matcher speedup = ~20% of
+# the train step).
+# ---------------------------------------------------------------------------
+
+SUBS = 8
+
+
+def _jv_packed_kernel(cost_ref, out_ref, *, n1: int, subs: int):
+    C = cost_ref.shape[3]
+    ids = lax.broadcasted_iota(jnp.int32, (subs, C), 1)  # [S, C]
+    in_range = (ids >= 1) & (ids < n1)
+
+    # All state is kept [S, C]-shaped (per-problem scalars are broadcast
+    # across lanes): mixed [S, 1]/[S, C] while-carries trip a Mosaic
+    # relayout bug ("non-singleton dimension replicated in destination").
+    def widen(x):  # [S, 1] -> [S, C]
+        return jnp.broadcast_to(x, (subs, C)) + jnp.zeros((subs, C), x.dtype)
+
+    def at_full(vec, j_full):  # [S, C], j broadcast [S, C] -> value [S, C]
+        picked = jnp.where(ids == j_full, vec, jnp.zeros_like(vec))
+        return widen(jnp.sum(picked, axis=1, keepdims=True).astype(vec.dtype))
+
+    def read_rows(i0_full):  # row index per problem (broadcast) -> [S, C]
+        rows = []
+        for sgroup in range(subs):
+            rows.append(
+                cost_ref[0, sgroup, pl.ds(i0_full[sgroup, 0], 1), :].astype(
+                    jnp.float32
+                )
+            )
+        return jnp.concatenate(rows, axis=0)
+
+    def solve_row(i, carry):
+        u, v, p = carry  # each [S, C]
+        p = jnp.where(ids == 0, i, p)
+        minv = jnp.full((subs, C), INF, dtype=jnp.float32)
+        used = jnp.zeros((subs, C), dtype=jnp.float32)
+        way = jnp.zeros((subs, C), dtype=jnp.int32)
+        row_in_tree = jnp.zeros((subs, C), dtype=jnp.float32)
+        j0 = jnp.zeros((subs, C), dtype=jnp.int32)
+        active = jnp.ones((subs, C), dtype=jnp.float32)
+
+        def cond(state):
+            u, v, p, minv, used, way, row_in_tree, j0, active = state
+            return jnp.max(active) > 0.0
+
+        def body(state):
+            u, v, p, minv, used, way, row_in_tree, j0, active = state
+            act = active > 0.0  # [S, C], constant per row
+            used = jnp.where(act & (ids == j0), 1.0, used)
+            i0 = at_full(p, j0).astype(jnp.int32)  # [S, C]
+            row_in_tree = jnp.where(act & (ids == i0), 1.0, row_in_tree)
+            a_row = read_rows(i0)
+            u_i0 = at_full(u, i0)
+            cur = a_row - u_i0 - v
+            valid = in_range & (used == 0.0)
+            better = act & valid & (cur < minv)
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
+            masked = jnp.where(valid, minv, INF)
+            delta = widen(jnp.min(masked, axis=1, keepdims=True))
+            j1 = widen(
+                jnp.min(
+                    jnp.where(masked <= delta, ids, C + 1), axis=1, keepdims=True
+                )
+            ).astype(jnp.int32)
+            u = u + delta * row_in_tree * active
+            v = v - delta * used * active
+            minv = minv - delta * (1.0 - used) * active
+            j0 = jnp.where(act, j1, j0)
+            p_at_j1 = at_full(p, j1)
+            active = jnp.where(act & (p_at_j1 != 0), 1.0, 0.0)
+            # barrier hides the "lane-replicated" provenance of widened
+            # values from Mosaic's layout inference (relayout bug otherwise)
+            return lax.optimization_barrier(
+                (u, v, p, minv, used, way, row_in_tree, j0, active)
+            )
+
+        state = (u, v, p, minv, used, way, row_in_tree, j0, active)
+        u, v, p, minv, used, way, row_in_tree, j0, active = lax.while_loop(
+            cond, body, state
+        )
+
+        walk = jnp.ones((subs, C), dtype=jnp.float32)
+
+        def aug_cond(state):
+            p, j0, walk = state
+            return jnp.max(walk) > 0.0
+
+        def aug_body(state):
+            p, j0, walk = state
+            act = walk > 0.0
+            j1 = at_full(way, j0).astype(jnp.int32)
+            pj1 = at_full(p, j1).astype(jnp.int32)
+            p = jnp.where(act & (ids == j0), pj1, p)
+            j0 = jnp.where(act, j1, j0)
+            walk = jnp.where(act & (j0 != 0), 1.0, 0.0)
+            return lax.optimization_barrier((p, j0, walk))
+
+        p, j0, walk = lax.while_loop(aug_cond, aug_body, (p, j0, walk))
+        return (u, v, p)
+
+    u0 = jnp.zeros((subs, C), dtype=jnp.float32)
+    v0 = jnp.zeros((subs, C), dtype=jnp.float32)
+    p0 = jnp.zeros((subs, C), dtype=jnp.int32)
+    _, _, p = lax.fori_loop(1, n1, solve_row, (u0, v0, p0))
+    out_ref[0] = p - 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_hungarian_packed(cost: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Batched exact LSAP, SUBS problems per grid program.
+
+    cost [B, n, n] f32 -> row4col [B, n] int32 (B padded up to SUBS internally
+    with identity-friendly BIG problems).
+    """
+    b, n, _ = cost.shape
+    n1 = n + 1
+    R = _round_up(n1, 8)
+    C = _round_up(n1, LANES)
+    g = -(-b // SUBS)  # programs
+    a = jnp.zeros((g * SUBS, R, C), jnp.float32)
+    a = a.at[:b, 1 : n + 1, 1 : n + 1].set(cost)
+    a = a.reshape(g, SUBS, R, C)
+    mem = pltpu.VMEM if _HAS_PLTPU else None
+    kw = {"memory_space": mem} if mem is not None else {}
+    out = pl.pallas_call(
+        functools.partial(_jv_packed_kernel, n1=n1, subs=SUBS),
+        out_shape=jax.ShapeDtypeStruct((g, SUBS, C), jnp.int32),
+        grid=(g,),
+        in_specs=[pl.BlockSpec((1, SUBS, R, C), lambda i: (i, 0, 0, 0), **kw)],
+        out_specs=pl.BlockSpec((1, SUBS, C), lambda i: (i, 0, 0), **kw),
+        interpret=interpret,
+    )(a)
+    return out.reshape(g * SUBS, C)[:b, 1 : n + 1]

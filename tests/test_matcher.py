@@ -127,3 +127,23 @@ def test_pallas_hungarian_interpret_parity(rng):
         sc = costs[b][r, c].sum()
         op = sum(costs[b][out[b, j], j] for j in range(N))
         assert abs(op - sc) <= 1e-2 * max(1.0, abs(sc))
+
+
+def test_pallas_hungarian_packed_interpret_parity(rng):
+    """Sublane-packed JV kernel (interpret mode; TPU compile blocked by a
+    Mosaic relayout bug — see ops/pallas/hungarian.py STATUS note)."""
+    from sound_event_detection_transformer_tpu.ops.pallas.hungarian import (
+        pallas_hungarian_packed,
+    )
+
+    N, B = 14, 11  # odd B exercises the SUBS padding
+    costs = np.full((B, N, N), BIG, dtype=np.float32)
+    for b in range(B):
+        n = rng.randint(2, N + 1)
+        costs[b, :n, :n] = rng.randn(n, n) * rng.uniform(0.1, 10)
+    out = np.asarray(pallas_hungarian_packed(jnp.asarray(costs), interpret=True))
+    for b in range(B):
+        r, c = linear_sum_assignment(costs[b])
+        sc = costs[b][r, c].sum()
+        op = sum(costs[b][out[b, j], j] for j in range(N))
+        assert abs(op - sc) <= 1e-2 * max(1.0, abs(sc))
