@@ -130,8 +130,8 @@ def test_pallas_hungarian_interpret_parity(rng):
 
 
 def test_pallas_hungarian_packed_interpret_parity(rng):
-    """Sublane-packed JV kernel (interpret mode; TPU compile blocked by a
-    Mosaic relayout bug — see ops/pallas/hungarian.py STATUS note)."""
+    """Sublane-packed JV kernel parity (interpret mode; this is the kernel
+    solve_lsap dispatches on TPU)."""
     from sound_event_detection_transformer_tpu.ops.pallas.hungarian import (
         pallas_hungarian_packed,
     )
