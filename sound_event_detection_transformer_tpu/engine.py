@@ -253,11 +253,19 @@ def make_semi_train_step(
     fine_tune: bool = False,
     normalize: bool = False,
     fl: bool = False,
+    n_labeled: Optional[int] = None,
 ) -> Callable:
     """Jitted mean-teacher step (reference engine.py:97-196).
 
     The batch carries teacher (clean) and student (noisy) views plus
     label/unlabel flags; returns (state, ema_params, metrics, pseudo counts).
+
+    ``n_labeled``: the batch layout is static (labeled samples first,
+    unlabeled after — train_ss_sedt.py:100-113's fixed 1/4+1/4+1/2 split), so
+    when given, the supervised forward runs only on ``[:n_labeled]`` and the
+    teacher/student forwards only on ``[n_labeled:]`` — the reference does
+    exactly this via masks (engine.py:127-160); running all three on the full
+    batch (the ``None`` fallback) wastes ~half the model FLOPs.
     """
     a = cfg.augment
 
@@ -276,11 +284,16 @@ def make_semi_train_step(
         do_ema: jnp.ndarray,  # bool scalar: apply EMA this step
     ):
         r_mix, r_d1, r_d2, r_m1, r_m2, r_mixlu = jax.random.split(rng, 6)
-        labeled = strong | weak
-        lab_f = labeled.astype(jnp.float32)
+        # static sub-batch slices (full batch when n_labeled is None)
+        lab = slice(0, n_labeled) if n_labeled else slice(None)
+        unl = slice(n_labeled, None) if n_labeled else slice(None)
+        labeled_l = (strong | weak)[lab]
+        pad_lab, pad_unl = pad_mask[lab], pad_mask[unl]
 
         # --- supervised branch on the labeled part (engine.py:127-139) ---
-        feats_l, targets_l, strong_l, weak_l = teacher_feats, targets, strong, weak
+        feats_l = teacher_feats[lab]
+        targets_l = jax.tree.map(lambda x: x[lab], targets)
+        strong_l, weak_l = strong[lab], weak[lab]
         if a.mix_up_ratio > 0:
             feats_l, targets_l, strong_l, weak_l = augment.mixup(
                 feats_l, targets_l, strong_l, weak_l, r_mix,
@@ -288,22 +301,24 @@ def make_semi_train_step(
                 max_events=cfg.model.max_events,
             )
             # never let mixup promote unlabeled samples into the loss
-            strong_l = strong_l & labeled
-            weak_l = weak_l & labeled
+            strong_l = strong_l & labeled_l
+            weak_l = weak_l & labeled_l
 
         # --- teacher pseudo-labels on clean unlabeled (engine.py:144-153) ---
         tea_out = model.apply(
             {"params": ema_params, "frozen": state.frozen},
-            teacher_feats, pad_mask, True,
+            teacher_feats[unl], pad_unl, True,
         )
         pseudo, counts = get_pseudo_labels(
-            tea_out, classwise_threshold, targets.orig_size, cfg.model.max_events
+            tea_out, classwise_threshold, targets.orig_size[unl],
+            cfg.model.max_events,
         )
-        counts = jnp.where(unlabel.any(), counts, jnp.zeros_like(counts))
-        student_in = student_feats
+        unlabel_u = unlabel[unl]
+        counts = jnp.where(unlabel_u.any(), counts, jnp.zeros_like(counts))
+        student_in = student_feats[unl]
         if a.mix_up_ratio > 0:
             student_in, pseudo = augment.mixup_label_unlabel(
-                feats_l, student_feats, targets_l, pseudo, r_mixlu,
+                feats_l, student_in, targets_l, pseudo, r_mixlu,
                 mix_up_ratio=a.mix_up_ratio, alpha=1.0,
                 max_events=cfg.model.max_events,
             )
@@ -311,7 +326,7 @@ def make_semi_train_step(
         def loss_fn(params):
             variables = {"params": params, "frozen": state.frozen}
             sup_out = model.apply(
-                variables, feats_l, pad_mask, False, rngs={"dropout": r_d1}
+                variables, feats_l, pad_lab, False, rngs={"dropout": r_d1}
             )
             sup_losses, _ = set_criterion(
                 sup_out, targets_l, strong_l, weak_l, cfg.model, cfg.loss,
@@ -320,12 +335,12 @@ def make_semi_train_step(
             sup = total_loss(sup_losses, weight_dict)
 
             st_out = model.apply(
-                variables, student_in, pad_mask, False, rngs={"dropout": r_d2}
+                variables, student_in, pad_unl, False, rngs={"dropout": r_d2}
             )
             # unsup: every unlabeled sample is "strong" vs its pseudo boxes
             # (engine.py:159-160 passes slice(all))
             un_losses, _ = set_criterion(
-                st_out, pseudo, unlabel, None, cfg.model, cfg.loss,
+                st_out, pseudo, unlabel_u, None, cfg.model, cfg.loss,
                 fine_tune=fine_tune, normalize=normalize, fl=fl, rng=r_m2,
             )
             unsup = total_loss(un_losses, weight_dict)

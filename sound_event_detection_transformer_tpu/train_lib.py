@@ -966,13 +966,14 @@ def run_semi(args) -> Dict[int, float]:
         log.info(f"using teacher model: {args.teacher_model}")
     elif not args.synthetic_smoke and not args.eval:
         raise SystemExit("please provide the teacher model (--teacher_model)")
-    # the teacher must own distinct buffers: both state and ema are donated
-    # by the jitted step, and aliased trees trip double-donation
+    # the teacher owns distinct buffers (a second param tree, not a view;
+    # the semi step deliberately does NOT donate — see engine.py note)
     ema_params = jax.tree.map(jnp.copy, state.params)
 
     semi_step = make_semi_train_step(
         model, weight_dict, cfg, tx, fine_tune=cfg.train.fine_tune,
         normalize=cfg.train.normalize, fl=cfg.train.focal_loss,
+        n_labeled=batch_sizes[0] + batch_sizes[1],
     )
     eval_step = make_eval_step(model, weight_dict, cfg, cfg.train.fusion_strategy)
 

@@ -82,7 +82,9 @@ def test_semi_train_step():
     weak = jnp.zeros((B,), bool)
     unlabel = jnp.asarray([False, False, True, True])
     thr = jnp.full((cfg.model.num_classes,), 0.5)
-    step = make_semi_train_step(model, wd, cfg, tx)
+    # n_labeled=2: sup forward on [:2], teacher/student on [2:] (the static
+    # layout the semi CLI uses; halves the step's model FLOPs)
+    step = make_semi_train_step(model, wd, cfg, tx, n_labeled=2)
     ema = jax.tree.map(jnp.copy, state.params)
     for i in range(2):
         state, ema, m, counts = step(
@@ -92,6 +94,14 @@ def test_semi_train_step():
         )
         assert np.isfinite(float(m["loss"]))
     assert counts.shape == (cfg.model.num_classes,)
+    # full-batch fallback path (n_labeled=None) still works
+    step_full = make_semi_train_step(model, wd, cfg, tx)
+    state, ema, m, _ = step_full(
+        state, ema, jnp.asarray(batch.feats), jnp.asarray(batch.feats),
+        jnp.asarray(batch.pad_mask), jax.tree.map(jnp.asarray, batch.targets),
+        strong, weak, unlabel, thr, jax.random.PRNGKey(9), jnp.asarray(True),
+    )
+    assert np.isfinite(float(m["loss"]))
     # EMA drifted toward params
     d0 = jax.tree.leaves(state.params)[0]
     e0 = jax.tree.leaves(ema)[0]
