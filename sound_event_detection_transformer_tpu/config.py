@@ -196,12 +196,12 @@ class TrainConfig:
     """Optimization schedule (reference train_sedt.py:70-84, 234-316)."""
 
     lr: float = 1e-4
-    lr_backbone: float = 1e-5
+    lr_backbone: float = 1e-4  # reference train_sedt.py:71 default
     weight_decay: float = 1e-4
     epochs: int = 400
     epochs_ls: int = 280  # learning-stage end; fine-tune stage after
     lr_drop: int = 160
-    lr_drop_gamma: float = 0.5
+    lr_drop_gamma: float = 0.1  # torch StepLR default (train_sedt.py:271)
     clip_max_norm: float = 0.1
     accumulating_gradient_steps: int = 1
     accumlating_ema_steps: int = 1

@@ -233,13 +233,37 @@ def batch_iterator(
     return_indexes: bool = False,
     prefetch: bool = True,
     pad_last: bool = True,
+    host_slice: Optional[Sequence[int]] = None,
 ) -> Iterator[Batch]:
     """Compose sampler + collate (+ prefetch thread) into a Batch stream.
 
     ``pad_last``: repeat the final sample to keep the last batch full-sized
     (avoids a second jit compilation for the ragged tail; padded rows carry
     index -1 so eval decoding skips them).
+
+    ``host_slice``: ``(rank, count)`` — each host loads only its contiguous
+    1/count chunk of every global batch (the multi-host replacement for
+    DistributedSampler, reference train_spsedt.py:110-114; contiguity keeps
+    the global stream layout intact when ``shard_batch_pytree`` reassembles
+    the global array from per-process chunks).  Defaults to
+    ``(jax.process_index(), jax.process_count())`` when running multi-host.
     """
+    if host_slice is None:
+        import jax
+
+        if jax.process_count() > 1:
+            host_slice = (jax.process_index(), jax.process_count())
+
+    def slice_for_host(idxs):
+        if not host_slice:
+            return list(idxs)
+        rank, count = host_slice
+        idxs = list(idxs)
+        per = len(idxs) // count
+        assert per * count == len(idxs), (
+            f"global batch {len(idxs)} not divisible by {count} hosts"
+        )
+        return idxs[rank * per : (rank + 1) * per]
 
     def gen():
         pad_counts = {}
@@ -266,6 +290,10 @@ def batch_iterator(
                 return -1
 
         for bi, idxs in enumerate(index_batches):
+            if not return_indexes:
+                # eval (return_indexes) stays full-batch on every host; only
+                # training batches shard across hosts
+                idxs = slice_for_host(idxs)
             samples = [dataset[i] for i in idxs]
             uflags = None
             if cluster_of is not None:

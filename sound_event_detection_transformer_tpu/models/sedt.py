@@ -234,8 +234,13 @@ class SPSEDT(SEDT):
             # ``decoder_input += patches * mask + decoder_input`` doubles the
             # query embedding — reproduced faithfully.
             rng = self.make_rng("patch_mask")
+            r_mask, r_shuf = jax.random.split(rng)
+            if cfg.query_shuffle:
+                # shuffle only the event queries, one permutation per step
+                # (spsedt.py:60 torch.randperm)
+                base_q = base_q[jax.random.permutation(r_shuf, cfg.num_queries)]
             keep = (
-                jax.random.uniform(rng, (b, cfg.num_queries, 1)) > cfg.mask_ratio
+                jax.random.uniform(r_mask, (b, cfg.num_queries, 1)) > cfg.mask_ratio
             ).astype(pq.dtype)
             queries = 2.0 * base_q[None] + pq * keep
             nq = cfg.num_queries

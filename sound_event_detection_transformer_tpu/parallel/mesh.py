@@ -39,13 +39,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch_pytree(batch: Any, mesh: Mesh) -> Any:
-    """Device-put every array with its leading dim over ``data``."""
-    sh = batch_sharding(mesh)
+    """Device-put every array with its leading dim over ``data``.
+
+    Multi-host: each process holds only its contiguous 1/process_count chunk
+    of the global batch (see ``batch_iterator(host_slice=...)``); the chunks
+    are assembled into one global jax.Array via
+    ``make_array_from_process_local_data`` — the SPMD replacement for
+    DistributedSampler + DDP input scattering (train_spsedt.py:110-115).
+    """
+    multi_host = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
         spec = P(mesh.axis_names[0], *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multi_host:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)
 

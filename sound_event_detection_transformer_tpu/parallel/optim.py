@@ -94,7 +94,7 @@ def make_optimizer(
             return lambda _: fixed_lr
         if schedule == "cosine":
             return cosine_lr(base, tcfg.epochs, steps_per_epoch)
-        return step_lr(base, tcfg.lr_drop, steps_per_epoch)
+        return step_lr(base, tcfg.lr_drop, steps_per_epoch, tcfg.lr_drop_gamma)
 
     def adamw(base_lr):
         return optax.chain(

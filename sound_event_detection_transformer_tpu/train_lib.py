@@ -642,11 +642,20 @@ def run_supervised(args) -> Dict[int, float]:
             )
             info = info + "_ft"
 
+        from .parallel.distribute import get_reduced_loss
+        from .utils.meters import MetricLogger
         from .utils.profiler import StepTimer
 
         t0 = time.time()
         losses = []
         timer = StepTimer()
+        # per-term scaled+unscaled meters + lr, as the reference logs each
+        # epoch (engine.py:39-95, utils.py:338-436)
+        mlog = MetricLogger(delimiter="  ")
+        lr_now = (
+            1e-5 if epoch >= args.epochs_ls
+            else cfg.train.lr * cfg.train.lr_drop_gamma ** (epoch // cfg.train.lr_drop)
+        )
         for i, batch in enumerate(
             batch_iterator(concat, iter(sampler), cfg.model.max_events,
                            cfg.features.max_len_seconds)
@@ -656,15 +665,22 @@ def run_supervised(args) -> Dict[int, float]:
             if mesh is not None:
                 batch = shard_batch_pytree(batch, mesh)
             state, m = train_step(state, batch, sk)
+            m = jax.device_get(m)  # one transfer; also the step barrier
+            loss_value = get_reduced_loss(
+                {k: v for k, v in m.items() if k != "loss"}, weight_dict, mlog
+            )
+            mlog.update(loss=float(m["loss"]), class_error=0, lr=lr_now)
             losses.append(float(m["loss"]))
             timer.step_done()
             if not np.isfinite(losses[-1]):
                 log.info(f"Loss is {losses[-1]}, stopping training")
                 raise SystemExit(1)
+        mlog.synchronize_between_processes()
         log.info(
             f"Epoch {epoch}: loss {np.mean(losses):.4f} "
             f"({len(losses)} steps, {time.time() - t0:.1f}s) {timer.summary()}"
         )
+        log.info("Train averaged stats:\n" + str(mlog))
 
         if cfg.train.checkpoint_epochs and (epoch + 1) % cfg.train.checkpoint_epochs == 0:
             save_checkpoint(
@@ -778,6 +794,17 @@ def run_spsedt(args) -> None:
             osp.join(root, "metadata", "train", "unlabel_in_domain.tsv"),
             nb_files=cfg.data.nb_files,
         )
+        if getattr(args, "extra_data", False):
+            # dcase2018 task5 extra pretraining data
+            # (reference train_spsedt.py:23-28, config.py:22)
+            import pandas as pd
+
+            extra_df = ds.initialize_and_get_df(
+                osp.join(root, "metadata", "train", "dcase2018_task5.tsv"),
+                nb_files=cfg.data.nb_files,
+            )
+            unlabel_df = pd.concat([unlabel_df, extra_df], ignore_index=True)
+            log.info(f"extra dcase2018-task5 pretrain data: {len(extra_df)} rows")
         enc = BoxEncoder(1, seconds=cfg.features.max_len_seconds,
                          generate_patch=True)
         scaler = Scaler()
@@ -997,9 +1024,13 @@ def run_semi(args) -> Dict[int, float]:
     metrics: Dict[int, float] = {}
     a = cfg.augment
 
+    from .parallel.distribute import get_reduced_loss
+    from .utils.meters import MetricLogger
+
     for epoch in range(args.epochs):
         t0, losses = time.time(), []
         counts_epoch = np.zeros((cfg.model.num_classes,))
+        mlog = MetricLogger(delimiter="  ")
         for i, batch in enumerate(
             batch_iterator(concat, iter(sampler), cfg.model.max_events,
                            cfg.features.max_len_seconds,
@@ -1026,6 +1057,15 @@ def run_semi(args) -> Dict[int, float]:
                 jnp.asarray(classwise_threshold, jnp.float32), k_step, do_ema,
             )
             counts_epoch += np.asarray(counts)
+            m = jax.device_get(m)
+            # per-term sup_*/unsup_* meters (reference engine.py:131,166)
+            get_reduced_loss(
+                {k: v for k, v in m.items() if k != "loss"},
+                {f"sup_{k}": v for k, v in weight_dict.items()}
+                | {f"unsup_{k}": v for k, v in weight_dict.items()},
+                mlog,
+            )
+            mlog.update(loss=float(m["loss"]))
             losses.append(float(m["loss"]))
             if not np.isfinite(losses[-1]):
                 log.info("Loss is infinite, stopping training")
@@ -1033,11 +1073,13 @@ def run_semi(args) -> Dict[int, float]:
         classwise_threshold = adjust_threshold(
             counts_epoch, origin_threshold, prior
         )
+        mlog.synchronize_between_processes()
         log.info(
             f"Epoch {epoch}: loss {np.mean(losses):.4f} "
             f"({len(losses)} steps, {time.time() - t0:.1f}s); "
             f"pseudo counts {counts_epoch.astype(int).tolist()}"
         )
+        log.info("Train averaged stats:\n" + str(mlog))
 
         eval_state = (
             state._replace(params=ema_params) if args.teacher_eval else state

@@ -164,3 +164,26 @@ def test_batch_iterator_pads_last_batch():
     assert batches[0].feats.shape[0] == 4 and batches[1].feats.shape[0] == 4
     # tail rows are marked -1 for decode skipping
     assert batches[1].indexes.tolist() == [4, -1, -1, -1]
+
+
+def test_batch_iterator_host_slice():
+    """Per-host contiguous chunking (multi-host DistributedSampler
+    replacement): host chunks concatenate to the full global batch."""
+    from sound_event_detection_transformer_tpu.data.dataset import batch_iterator
+    from sound_event_detection_transformer_tpu.data.synthetic import SyntheticDataset
+
+    enc = BoxEncoder(CLASSES, seconds=10.0)
+    ds = SyntheticDataset(8, CLASSES, 32, 16, enc.encode_strong_df,
+                          max_events=2, seed=0)
+    full = list(batch_iterator(ds, 4, 4, 10.0, prefetch=False,
+                               host_slice=(0, 1)))
+    h0 = list(batch_iterator(ds, 4, 4, 10.0, prefetch=False,
+                             host_slice=(0, 2)))
+    h1 = list(batch_iterator(ds, 4, 4, 10.0, prefetch=False,
+                             host_slice=(1, 2)))
+    assert len(full) == len(h0) == len(h1) == 2
+    for f, a, b in zip(full, h0, h1):
+        assert a.feats.shape[0] == b.feats.shape[0] == 2
+        np.testing.assert_array_equal(
+            f.feats, np.concatenate([a.feats, b.feats], axis=0)
+        )

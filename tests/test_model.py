@@ -208,3 +208,42 @@ def test_bfloat16_compute_path(rng):
     assert out["pred_logits"].dtype == jnp.float32
     assert np.isfinite(np.asarray(out["pred_logits"])).all()
     assert np.isfinite(np.asarray(out["at"])).all()
+
+
+def test_spsedt_query_shuffle():
+    """query_shuffle permutes the event queries during training
+    (reference spsedt.py:60; was a silent no-op in round 1)."""
+    import dataclasses
+
+    cfg = SEDTConfig.tiny_test()
+    mk = lambda qs: dataclasses.replace(
+        cfg.model, self_sup=True, dec_at=False, num_queries=6, num_patches=3,
+        query_shuffle=qs, mask_ratio=0.0,
+    )
+    cfg_on = cfg.replace(model=mk(True))
+    cfg_off = cfg.replace(model=mk(False))
+    model_on, _ = build_model(cfg_on)
+    model_off, _ = build_model(cfg_off)
+
+    rng = jax.random.PRNGKey(0)
+    B, T, F = 1, cfg.model.max_frames, cfg.model.n_mels
+    feats = jax.random.normal(rng, (B, T, F, 1))
+    pad = jnp.zeros((B, T), bool)
+    patches = jax.random.normal(rng, (B, 3, 64, 32, 1))
+    variables = model_off.init(
+        {"params": rng, "dropout": rng, "patch_mask": rng}, feats, pad,
+        patches, True,
+    )
+
+    def run(model, key):
+        return np.asarray(model.apply(
+            variables, feats, pad, patches, False,
+            rngs={"dropout": jax.random.PRNGKey(0),
+                  "patch_mask": jax.random.PRNGKey(key)},
+        )["pred_boxes"])
+
+    # without shuffle: deterministic given fixed rngs (mask_ratio 0)
+    np.testing.assert_array_equal(run(model_off, 1), run(model_off, 2))
+    # with shuffle: different patch_mask keys give different permutations
+    outs = [run(model_on, k) for k in range(6)]
+    assert any(not np.array_equal(outs[0], o) for o in outs[1:])
