@@ -11,9 +11,14 @@ Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md); the
-denominator is an assumed 100 clips/sec for the PyTorch reference on its
-unspecified GPU (a DETR-scale audio model at batch 64 on a V100-class card),
-so vs_baseline = value / 100.  The driver's north star is >= 5x.
+denominator is an ANALYTIC estimate of the PyTorch reference on a V100:
+XLA cost analysis puts this exact train step at 26.9 GFLOPs/clip (fwd+bwd+
+update, batch 64); the torch model is FLOP-equivalent, so on a V100
+(15.7 f32 TFLOP/s peak) at the 25-40% utilization typical of DETR-style
+training that is ~145-235 clips/s — before the reference's per-step host
+round-trips (192 scipy Hungarian solves + per-aux-layer GPU->CPU syncs,
+matcher.py:92-95).  We take 200 clips/s, the optimistic end, as the
+denominator.  The driver's north star is >= 5x.
 """
 from __future__ import annotations
 
@@ -24,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ASSUMED_REF_GPU_CLIPS_PER_SEC = 100.0
+ASSUMED_REF_GPU_CLIPS_PER_SEC = 200.0  # analytic V100 estimate, see docstring
 # Batch 64 = the reference recipe (README.md:17-30).  Throughput here is
 # compute-bound and batch-independent (~1.15k clips/s f32 from 64 to 512).
 #
