@@ -147,3 +147,21 @@ def test_pallas_hungarian_packed_interpret_parity(rng):
         sc = costs[b][r, c].sum()
         op = sum(costs[b][out[b, j], j] for j in range(N))
         assert abs(op - sc) <= 1e-2 * max(1.0, abs(sc))
+
+
+def test_pallas_hungarian_packed_edge_sizes(rng):
+    """Degenerate n=1 and the DCASE shape n=21 (num_queries 20 + 1 pad)."""
+    from sound_event_detection_transformer_tpu.ops.pallas.hungarian import (
+        pallas_hungarian_packed,
+    )
+
+    for N, B in ((1, 3), (21, 8)):
+        costs = rng.randn(B, N, N).astype(np.float32)
+        out = np.asarray(
+            pallas_hungarian_packed(jnp.asarray(costs), interpret=True)
+        )
+        for b in range(B):
+            r, c = linear_sum_assignment(costs[b])
+            sc = costs[b][r, c].sum()
+            op = sum(costs[b][out[b, j], j] for j in range(N))
+            assert abs(op - sc) <= 1e-2 * max(1.0, abs(sc)), (N, b)
