@@ -643,15 +643,18 @@ def run_supervised(args) -> Dict[int, float]:
             info = info + "_ft"
 
         from .parallel.distribute import get_reduced_loss
-        from .utils.meters import MetricLogger
+        from .utils.meters import DeviceMetricAccumulator, MetricLogger
         from .utils.profiler import StepTimer
 
         t0 = time.time()
-        losses = []
         timer = StepTimer()
         # per-term scaled+unscaled meters + lr, as the reference logs each
-        # epoch (engine.py:39-95, utils.py:338-436)
+        # epoch (engine.py:39-95, utils.py:338-436).  Metrics accumulate ON
+        # DEVICE and transfer once per epoch — a per-step fetch is a ~40 ms
+        # host barrier on this backend and would halve train throughput
+        # (see DeviceMetricAccumulator).
         mlog = MetricLogger(delimiter="  ")
+        acc = DeviceMetricAccumulator()
         lr_now = (
             1e-5 if epoch >= args.epochs_ls
             else cfg.train.lr * cfg.train.lr_drop_gamma ** (epoch // cfg.train.lr_drop)
@@ -665,22 +668,23 @@ def run_supervised(args) -> Dict[int, float]:
             if mesh is not None:
                 batch = shard_batch_pytree(batch, mesh)
             state, m = train_step(state, batch, sk)
-            m = jax.device_get(m)  # one transfer; also the step barrier
-            loss_value = get_reduced_loss(
-                {k: v for k, v in m.items() if k != "loss"}, weight_dict, mlog
-            )
-            mlog.update(loss=float(m["loss"]), class_error=0, lr=lr_now)
-            losses.append(float(m["loss"]))
+            acc.update(m)  # device-side sum, fully async
             timer.step_done()
-            if not np.isfinite(losses[-1]):
-                log.info(f"Loss is {losses[-1]}, stopping training")
-                raise SystemExit(1)
+        means, n_steps = acc.means()  # single fetch; also the epoch barrier
+        loss_mean = means.pop("loss", float("nan"))
+        get_reduced_loss(means, weight_dict, mlog)
+        mlog.update(loss=loss_mean, class_error=0, lr=lr_now)
         mlog.synchronize_between_processes()
         log.info(
-            f"Epoch {epoch}: loss {np.mean(losses):.4f} "
-            f"({len(losses)} steps, {time.time() - t0:.1f}s) {timer.summary()}"
+            f"Epoch {epoch}: loss {loss_mean:.4f} "
+            f"({n_steps} steps, {time.time() - t0:.1f}s) {timer.summary()}"
         )
         log.info("Train averaged stats:\n" + str(mlog))
+        if not np.isfinite(loss_mean):
+            # NaN propagates through the epoch sum (reference engine.py:70-73
+            # aborts mid-epoch; the end-of-epoch check avoids per-step syncs)
+            log.info(f"Loss is {loss_mean}, stopping training")
+            raise SystemExit(1)
 
         if cfg.train.checkpoint_epochs and (epoch + 1) % cfg.train.checkpoint_epochs == 0:
             save_checkpoint(
@@ -870,8 +874,11 @@ def run_spsedt(args) -> None:
         )
         log.info(f"data-parallel mesh: {dict(mesh.shape)} (replaces DDP)")
 
+    from .utils.meters import DeviceMetricAccumulator
+
     for epoch in range(start_epoch, args.epochs):
-        t0, losses = time.time(), []
+        t0 = time.time()
+        acc = DeviceMetricAccumulator()  # device-side sums, one fetch/epoch
         order = np.random.permutation(len(train_data))
         nb = len(order) // cfg.data.batch_size
         for b in range(nb):
@@ -887,14 +894,15 @@ def run_spsedt(args) -> None:
             if mesh is not None:
                 batch = shard_batch_pytree(batch, mesh)
             state, m = train_step(state, batch, sk)
-            losses.append(float(m["loss"]))
-            if not np.isfinite(losses[-1]):
-                log.info("Loss is not finite, stopping")
-                raise SystemExit(1)
+            acc.update({"loss": m["loss"]})
+        loss_mean = acc.means()[0].get("loss", float("nan"))
         log.info(
-            f"Epoch {epoch}: loss {np.mean(losses):.4f} ({nb} steps, "
+            f"Epoch {epoch}: loss {loss_mean:.4f} ({nb} steps, "
             f"{time.time() - t0:.1f}s)"
         )
+        if not np.isfinite(loss_mean):
+            log.info("Loss is not finite, stopping")
+            raise SystemExit(1)
         if (
             process_is_main()
             and cfg.train.checkpoint_epochs
@@ -1025,12 +1033,12 @@ def run_semi(args) -> Dict[int, float]:
     a = cfg.augment
 
     from .parallel.distribute import get_reduced_loss
-    from .utils.meters import MetricLogger
+    from .utils.meters import DeviceMetricAccumulator, MetricLogger
 
     for epoch in range(args.epochs):
-        t0, losses = time.time(), []
-        counts_epoch = np.zeros((cfg.model.num_classes,))
+        t0 = time.time()
         mlog = MetricLogger(delimiter="  ")
+        acc = DeviceMetricAccumulator()  # device-side sums, one fetch/epoch
         for i, batch in enumerate(
             batch_iterator(concat, iter(sampler), cfg.model.max_events,
                            cfg.features.max_len_seconds,
@@ -1056,30 +1064,33 @@ def run_semi(args) -> Dict[int, float]:
                 strong_flag, weak_flag, unlabel_flag,
                 jnp.asarray(classwise_threshold, jnp.float32), k_step, do_ema,
             )
-            counts_epoch += np.asarray(counts)
-            m = jax.device_get(m)
-            # per-term sup_*/unsup_* meters (reference engine.py:131,166)
-            get_reduced_loss(
-                {k: v for k, v in m.items() if k != "loss"},
-                {f"sup_{k}": v for k, v in weight_dict.items()}
-                | {f"unsup_{k}": v for k, v in weight_dict.items()},
-                mlog,
-            )
-            mlog.update(loss=float(m["loss"]))
-            losses.append(float(m["loss"]))
-            if not np.isfinite(losses[-1]):
-                log.info("Loss is infinite, stopping training")
-                raise SystemExit(1)
+            acc.update({**m, "pseudo_counts": counts})  # async device sums
+        totals = acc.totals()  # single fetch; also the epoch barrier
+        n_steps = acc.steps
+        counts_epoch = totals.pop("pseudo_counts", np.zeros(cfg.model.num_classes))
+        means = {k: v / max(n_steps, 1) for k, v in totals.items()}
+        loss_mean = means.pop("loss", float("nan"))
+        # per-term sup_*/unsup_* meters (reference engine.py:131,166)
+        get_reduced_loss(
+            means,
+            {f"sup_{k}": v for k, v in weight_dict.items()}
+            | {f"unsup_{k}": v for k, v in weight_dict.items()},
+            mlog,
+        )
+        mlog.update(loss=loss_mean)
         classwise_threshold = adjust_threshold(
             counts_epoch, origin_threshold, prior
         )
         mlog.synchronize_between_processes()
         log.info(
-            f"Epoch {epoch}: loss {np.mean(losses):.4f} "
-            f"({len(losses)} steps, {time.time() - t0:.1f}s); "
+            f"Epoch {epoch}: loss {loss_mean:.4f} "
+            f"({n_steps} steps, {time.time() - t0:.1f}s); "
             f"pseudo counts {counts_epoch.astype(int).tolist()}"
         )
         log.info("Train averaged stats:\n" + str(mlog))
+        if not np.isfinite(loss_mean):
+            log.info("Loss is not finite, stopping training")
+            raise SystemExit(1)
 
         eval_state = (
             state._replace(params=ema_params) if args.teacher_eval else state
@@ -1258,15 +1269,19 @@ def run_audio_tag(args) -> float:
     best = SaveBest("sup")
     model_path = osp.join(model_dir, f"at_{args.pooling or 'avg'}_{cfg.data.dataset_name}")
     f1 = 0.0
+    from .utils.meters import DeviceMetricAccumulator
+
     for epoch in range(args.epochs):
         order = np.random.permutation(len(train_data))
-        losses = []
+        acc = DeviceMetricAccumulator()  # device-side sums, one fetch/epoch
         for b in range(len(order) // bs):
             idxs = order[b * bs : (b + 1) * bs]
             x, y = collate_weak([train_data[i] for i in idxs])
             params, opt_state, loss = at_step(params, frozen, opt_state, x, y)
-            losses.append(float(loss))
-        log.info(f"Epoch {epoch}: loss {np.mean(losses):.4f}")
+            acc.update({"loss": loss})
+        log.info(
+            f"Epoch {epoch}: loss {acc.means()[0].get('loss', float('nan')):.4f}"
+        )
 
         # validation clip F1
         rows = []

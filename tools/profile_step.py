@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Component-level honest timing of the flagship train step on this device.
+
+Methodology (CLAUDE.md): `jax.block_until_ready` lies on the axon backend, and
+each dispatch+fetch pays ~40 ms tunnel latency, so every component is timed by
+chaining ITERS data-dependent iterations inside ONE jitted `lax.scan` and
+fetching a scalar once.  Numbers are amortized ms per iteration.
+
+Usage: python tools/profile_step.py [--compute_dtype bfloat16] [--batch 64]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, *args, iters_outer=3):
+    """Median wall time of fn(*args) with a data-dependent scalar fetch."""
+    out = fn(*args)
+    _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])  # warm + barrier
+    ts = []
+    for _ in range(iters_outer):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--compute_dtype", default="float32",
+                    choices=("float32", "bfloat16"))
+    ap.add_argument("--batch", default=64, type=int)
+    ap.add_argument("--iters", default=20, type=int)
+    args = ap.parse_args()
+
+    from sound_event_detection_transformer_tpu.utils.compilation_cache import (
+        enable as enable_compilation_cache,
+    )
+    enable_compilation_cache()
+    from __graft_entry__ import _flagship_cfg
+    from sound_event_detection_transformer_tpu.engine import (
+        Batch, TrainState, make_train_step,
+    )
+    from sound_event_detection_transformer_tpu.models import (
+        build_model, empty_targets, set_criterion, total_loss,
+    )
+    from sound_event_detection_transformer_tpu.parallel.optim import make_optimizer
+
+    B, ITERS = args.batch, args.iters
+    cfg = _flagship_cfg(tiny=False)
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, batch_size=B),
+        model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype),
+    )
+    model, wd = build_model(cfg)
+    T, F = cfg.model.max_frames, cfg.model.n_mels
+
+    rng = jax.random.PRNGKey(0)
+    feats0 = jnp.zeros((B, T, F, 1), jnp.float32)
+    pad = jnp.zeros((B, T), bool)
+    variables = jax.jit(
+        lambda r, f, p: model.init({"params": r, "dropout": r}, f, p, True)
+    )(rng, feats0, pad)
+    tx = make_optimizer(variables["params"], cfg.train, steps_per_epoch=100)
+    state = TrainState(
+        variables["params"], variables.get("frozen", {}),
+        tx.init(variables["params"]), jnp.asarray(0),
+    )
+    params, frozen = state.params, state.frozen
+
+    rs = np.random.RandomState(0)
+    tgts = empty_targets(B, cfg.model.max_events, cfg.features.max_len_seconds)
+    valid = rs.rand(B, cfg.model.max_events) < 0.3
+    valid[:, 0] = True
+    tgts = tgts._replace(
+        labels=jnp.asarray(
+            rs.randint(0, cfg.model.num_classes, (B, cfg.model.max_events)),
+            jnp.int32),
+        boxes=jnp.stack([
+            jnp.asarray(rs.uniform(0.2, 0.8, (B, cfg.model.max_events))),
+            jnp.asarray(rs.uniform(0.05, 0.3, (B, cfg.model.max_events))),
+        ], -1).astype(jnp.float32),
+        box_valid=jnp.asarray(valid), label_valid=jnp.asarray(valid),
+    )
+    feats = jnp.asarray(rs.randn(B, T, F, 1), jnp.float32)
+    batch = Batch(feats=feats, pad_mask=pad, targets=tgts,
+                  strong=jnp.ones((B,), bool), weak=jnp.zeros((B,), bool))
+
+    results = {}
+
+    # --- full train step: ITERS chained steps in one jit ---
+    step = make_train_step(model, wd, cfg, tx)
+
+    # chain ITERS steps via python loop over the jitted step (async dispatch
+    # amortizes the tunnel latency; final scalar fetch is the barrier)
+    def full(state):
+        key = jax.random.PRNGKey(1)
+        for i in range(ITERS):
+            state, m = step(state, batch, jax.random.fold_in(key, i))
+        return m["loss"]
+
+    t = timed(full, state)
+    results["train_step"] = t / ITERS
+
+    # --- forward only (train mode, no dropout rng needed in eval) ---
+    @jax.jit
+    def fwd_scan(params, feats):
+        def body(f, _):
+            out = model.apply({"params": params, "frozen": frozen}, f, pad, True)
+            f = f + 1e-6 * out["pred_boxes"].sum()  # data dependence
+            return f, out["pred_logits"].sum()
+        f, s = jax.lax.scan(body, feats, None, length=ITERS)
+        return s.sum()
+
+    results["forward_eval"] = timed(fwd_scan, params, feats) / ITERS
+
+    # --- forward + criterion (no grad) ---
+    @jax.jit
+    def fwd_loss_scan(params, feats):
+        def body(f, _):
+            out = model.apply({"params": params, "frozen": frozen}, f, pad, True)
+            losses, _ = set_criterion(
+                out, tgts, batch.strong, batch.weak, cfg.model, cfg.loss,
+                rng=jax.random.PRNGKey(0))
+            l = total_loss(losses, wd)
+            return f + 1e-6 * l, l
+        f, s = jax.lax.scan(body, feats, None, length=ITERS)
+        return s.sum()
+
+    results["forward_plus_criterion"] = timed(fwd_loss_scan, params, feats) / ITERS
+
+    # --- matcher alone at the step's (1+A)*B problem batch shape ---
+    from sound_event_detection_transformer_tpu.ops.matcher import solve_lsap
+    A = cfg.model.dec_layers  # final + aux layers solved jointly
+    NP = A * B
+    Q, M = cfg.model.num_queries, cfg.model.max_events
+    cost = jnp.asarray(rs.rand(NP, Q, M), jnp.float32)
+    cvalid = jnp.asarray(rs.rand(NP, M) < 0.3)
+
+    @jax.jit
+    def match_scan(cost):
+        def body(c, _):
+            rows = solve_lsap(c, cvalid)
+            return c + 1e-6 * rows.sum(), rows.sum()
+        c, s = jax.lax.scan(body, cost, None, length=ITERS)
+        return s.sum()
+
+    results["matcher_batch"] = timed(match_scan, cost) / ITERS
+
+    # --- backbone alone (flax method= dispatch into the submodule) ---
+    cdt = jnp.dtype(cfg.model.compute_dtype)
+
+    @jax.jit
+    def bb_scan(params, feats):
+        def body(f, _):
+            y = model.apply(
+                {"params": params, "frozen": frozen}, f.astype(cdt),
+                method=lambda m, x: m.backbone(x),
+            )
+            return f + 1e-6 * y.mean().astype(f.dtype), y.mean()
+        f, s = jax.lax.scan(body, feats, None, length=ITERS)
+        return s.sum()
+
+    try:
+        results["backbone"] = timed(bb_scan, params, feats) / ITERS
+    except Exception as e:  # submodule dispatch is best-effort
+        print("backbone-only timing skipped:", e)
+
+    results["criterion_only"] = (
+        results["forward_plus_criterion"] - results["forward_eval"])
+    results["backward_plus_update"] = (
+        results["train_step"] - results["forward_plus_criterion"])
+    print(f"batch={B} dtype={args.compute_dtype} iters={ITERS}")
+    for k, v in results.items():
+        print(f"  {k:26s} {v * 1e3:8.2f} ms  ({B / v:8.0f} clips/s)")
+
+
+if __name__ == "__main__":
+    main()
