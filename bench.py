@@ -58,10 +58,11 @@ def main() -> None:
 
     import dataclasses
 
-    # Benchmarks the float32 default — the accuracy-parity configuration.
-    # (--compute_dtype bfloat16 is ~17% faster with matching loss curves and
-    # no known regression — an identical-hyper f32 control reproduced the
-    # same synthetic metrics — but stays opt-in until real-data validation.)
+    # Benchmarks the framework default: bfloat16 compute (params f32).
+    # The bf16 default is validated against an identical-hyper float32
+    # control — same Eb_F1 trajectory, peak, and final test metrics on the
+    # 512-clip synthetic benchmark (ACCURACY.md).  The denominator stays the
+    # reference's f32 V100 estimate: the reference has no AMP/bf16 path.
     cfg = _flagship_cfg(tiny=False)
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=BATCH))
     model, wd = build_model(cfg)

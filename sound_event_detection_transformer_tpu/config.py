@@ -129,7 +129,11 @@ class ModelConfig:
     num_patches: int = 10
     # numerics
     param_dtype: str = "float32"
-    compute_dtype: str = "float32"  # 'bfloat16' for speed on TPU
+    # bfloat16 is the TPU-native default: ~19% faster end-to-end with loss
+    # curves and final metrics matching an identical-hyper float32 control
+    # (ACCURACY.md).  Params/optimizer state stay float32 regardless;
+    # --compute_dtype float32 is the escape hatch.
+    compute_dtype: str = "bfloat16"
 
     # input geometry (set from FeatureConfig at build time)
     max_frames: int = 496
@@ -305,6 +309,10 @@ class SEDTConfig:
                 max_frames=128,
                 n_mels=32,
                 max_events=8,
+                # unit tests assert against float64/hand values; keep the
+                # tiny config in f32 (bf16 behavior is covered explicitly,
+                # e.g. tests/test_model.py bf16 case)
+                compute_dtype="float32",
             ),
             data=DataConfig(classes=URBAN_CLASSES[:4], batch_size=4),
             train=TrainConfig(epochs=2, epochs_ls=1, seed=0),

@@ -118,9 +118,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--nheads", default=8, type=int)
     p.add_argument("--num_queries", default=20, type=int)
     p.add_argument("--pre_norm", action="store_false", default=True)
-    p.add_argument("--compute_dtype", default="float32",
+    p.add_argument("--compute_dtype", default="bfloat16",
                    choices=("float32", "bfloat16"),
-                   help="activation/matmul dtype; params stay float32")
+                   help="activation/matmul dtype; params stay float32 "
+                        "(bf16 default validated against an f32 control, "
+                        "ACCURACY.md; pass float32 to reproduce exactly)")
     # SP-SEDT
     p.add_argument("--feature_recon", action="store_true", default=False)
     p.add_argument("--query_shuffle", action="store_true", default=False)
@@ -672,8 +674,10 @@ def run_supervised(args) -> Dict[int, float]:
             timer.step_done()
         means, n_steps = acc.means()  # single fetch; also the epoch barrier
         loss_mean = means.pop("loss", float("nan"))
+        class_error = means.pop("class_error", 0.0)
         get_reduced_loss(means, weight_dict, mlog)
-        mlog.update(loss=loss_mean, class_error=0, lr=lr_now)
+        # class_error logged as its own meter (reference engine.py:66-69)
+        mlog.update(loss=loss_mean, class_error=class_error, lr=lr_now)
         mlog.synchronize_between_processes()
         log.info(
             f"Epoch {epoch}: loss {loss_mean:.4f} "

@@ -12,7 +12,11 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +42,8 @@ def main():
                     choices=("float32", "bfloat16"))
     ap.add_argument("--batch", default=64, type=int)
     ap.add_argument("--iters", default=20, type=int)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny geometry (CPU sanity check of the harness)")
     args = ap.parse_args()
 
     from sound_event_detection_transformer_tpu.utils.compilation_cache import (
@@ -54,7 +60,7 @@ def main():
     from sound_event_detection_transformer_tpu.parallel.optim import make_optimizer
 
     B, ITERS = args.batch, args.iters
-    cfg = _flagship_cfg(tiny=False)
+    cfg = _flagship_cfg(tiny=args.tiny)
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, batch_size=B),
         model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype),
@@ -73,7 +79,6 @@ def main():
         variables["params"], variables.get("frozen", {}),
         tx.init(variables["params"]), jnp.asarray(0),
     )
-    params, frozen = state.params, state.frozen
 
     rs = np.random.RandomState(0)
     tgts = empty_targets(B, cfg.model.max_events, cfg.features.max_len_seconds)
@@ -99,15 +104,23 @@ def main():
     step = make_train_step(model, wd, cfg, tx)
 
     # chain ITERS steps via python loop over the jitted step (async dispatch
-    # amortizes the tunnel latency; final scalar fetch is the barrier)
-    def full(state):
+    # amortizes the tunnel latency; final scalar fetch is the barrier).
+    # NB the step donates its state arg, so state must thread through calls.
+    st = {"state": state}
+
+    def full():
         key = jax.random.PRNGKey(1)
+        s = st["state"]
         for i in range(ITERS):
-            state, m = step(state, batch, jax.random.fold_in(key, i))
+            s, m = step(s, batch, jax.random.fold_in(key, i))
+        st["state"] = s
         return m["loss"]
 
-    t = timed(full, state)
+    t = timed(full)
     results["train_step"] = t / ITERS
+    # the step donated the original state buffers; use the live ones for the
+    # component timings below
+    params, frozen = st["state"].params, st["state"].frozen
 
     # --- forward only (train mode, no dropout rng needed in eval) ---
     @jax.jit
@@ -137,7 +150,7 @@ def main():
     results["forward_plus_criterion"] = timed(fwd_loss_scan, params, feats) / ITERS
 
     # --- matcher alone at the step's (1+A)*B problem batch shape ---
-    from sound_event_detection_transformer_tpu.ops.matcher import solve_lsap
+    from sound_event_detection_transformer_tpu.ops.matcher import assign
     A = cfg.model.dec_layers  # final + aux layers solved jointly
     NP = A * B
     Q, M = cfg.model.num_queries, cfg.model.max_events
@@ -147,12 +160,54 @@ def main():
     @jax.jit
     def match_scan(cost):
         def body(c, _):
-            rows = solve_lsap(c, cvalid)
-            return c + 1e-6 * rows.sum(), rows.sum()
+            tq, qm, qt, tm = assign(c, cvalid)
+            return c + 1e-6 * tq.sum(), tq.sum()
         c, s = jax.lax.scan(body, cost, None, length=ITERS)
         return s.sum()
 
     results["matcher_batch"] = timed(match_scan, cost) / ITERS
+
+    # --- grad only (fwd+bwd, no optimizer) and update only ---
+    from sound_event_detection_transformer_tpu.models import (
+        set_criterion as _set_criterion,
+    )
+
+    def _loss(params, feats):
+        out = model.apply(
+            {"params": params, "frozen": frozen}, feats, pad, True)
+        losses, _ = _set_criterion(
+            out, tgts, batch.strong, batch.weak, cfg.model, cfg.loss,
+            rng=jax.random.PRNGKey(0))
+        return total_loss(losses, wd)
+
+    @jax.jit
+    def grad_scan(params, feats):
+        def body(f, _):
+            l, g = jax.value_and_grad(_loss)(params, f)
+            return f + 1e-6 * l, l
+        f, s = jax.lax.scan(body, feats, None, length=ITERS)
+        return s.sum()
+
+    results["forward_backward"] = timed(grad_scan, params, feats) / ITERS
+
+    grads = jax.jit(jax.grad(_loss))(params, feats)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def update_scan(params, opt_state, grads):
+        def body(carry, _):
+            p, o = carry
+            updates, o = tx.update(grads, o, p)
+            import optax as _optax
+            p = _optax.apply_updates(p, updates)
+            return (p, o), jax.tree.leaves(updates)[0].sum()
+        (p, o), s = jax.lax.scan(body, (params, opt_state), None, length=ITERS)
+        return s.sum()
+
+    try:
+        results["optimizer_update"] = timed(update_scan, params, opt_state, grads) / ITERS
+    except Exception as e:
+        print("optimizer-only timing skipped:", e)
 
     # --- backbone alone (flax method= dispatch into the submodule) ---
     cdt = jnp.dtype(cfg.model.compute_dtype)
