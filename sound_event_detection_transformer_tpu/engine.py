@@ -28,6 +28,32 @@ from .models.postprocess import postprocess
 from .ops import augment
 
 
+def _frozen_param_mask(params: Any) -> Any:
+    """Bool pytree: True for backbone stem/layer1 leaves under the freeze
+    policy (reference backbone.py:61, ``requires_grad=False``)."""
+    from .parallel.optim import label_tree
+
+    return jax.tree.map(lambda l: l == "frozen", label_tree(params))
+
+
+def _swap_in_frozen(params_in: Any, params_state: Any, frozen_mask: Any) -> Any:
+    """Rebuild the full param tree, sourcing frozen leaves from the state as
+    constants.
+
+    The differentiated tree then never *uses* its frozen leaves, so
+    ``value_and_grad`` returns exact zeros for them and XLA dead-code
+    eliminates their weight-gradient convolutions — the analogue of torch
+    skipping grads for ``requires_grad=False`` params.  This also matches the
+    reference's clipping semantics: ``clip_grad_norm_`` only sees params with
+    grads (engine.py:78), so frozen leaves must contribute nothing to the
+    global norm.
+    """
+    return jax.tree.map(
+        lambda p_in, p_st, f: jax.lax.stop_gradient(p_st) if f else p_in,
+        params_in, params_state, frozen_mask,
+    )
+
+
 class TrainState(NamedTuple):
     params: Any
     frozen: Any  # FrozenBN constants (never optimized)
@@ -118,7 +144,10 @@ def make_train_step(
         if augment_on:
             batch = _apply_augment(cfg, batch, r_aug)
 
-        def loss_fn(params):
+        frozen_mask = _frozen_param_mask(state.params)
+
+        def loss_fn(params_in):
+            params = _swap_in_frozen(params_in, state.params, frozen_mask)
             variables = {"params": params, "frozen": state.frozen}
             rngs = {"dropout": r_drop, "patch_mask": r_patch}
             if batch.patches is not None:
@@ -323,7 +352,10 @@ def make_semi_train_step(
                 max_events=cfg.model.max_events,
             )
 
-        def loss_fn(params):
+        frozen_mask = _frozen_param_mask(state.params)
+
+        def loss_fn(params_in):
+            params = _swap_in_frozen(params_in, state.params, frozen_mask)
             variables = {"params": params, "frozen": state.frozen}
             sup_out = model.apply(
                 variables, feats_l, pad_lab, False, rngs={"dropout": r_d1}

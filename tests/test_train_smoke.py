@@ -57,6 +57,33 @@ def test_overfit_single_batch():
     assert np.mean(losses[-5:]) < 0.85 * np.mean(losses[:5])
 
 
+def test_frozen_backbone_params_never_move():
+    """Freeze policy (reference backbone.py:61): stem+layer1 leaves get exact
+    zero grads (XLA skips their weight-grad convs) and never change; trainable
+    conv0/layer2+ leaves do move."""
+    from sound_event_detection_transformer_tpu.engine import (
+        _frozen_param_mask,
+    )
+
+    cfg = SEDTConfig.tiny_test()
+    model, wd, tx, state = _setup(cfg)
+    batch, _ = _synthetic_batch(cfg)
+    step = make_train_step(model, wd, cfg, tx)
+    before = jax.tree.map(lambda x: np.asarray(x), state.params)
+    state2, _ = step(state, batch, jax.random.PRNGKey(0))
+    mask = _frozen_param_mask(before)
+    moved_frozen, moved_trainable = [], []
+    for (path, b), a, f in zip(
+        jax.tree_util.tree_flatten_with_path(before)[0],
+        jax.tree.leaves(state2.params),
+        jax.tree.leaves(mask),
+    ):
+        changed = bool(np.any(np.asarray(a) != b))
+        (moved_frozen if f else moved_trainable).append(changed)
+    assert not any(moved_frozen)
+    assert any(moved_trainable)
+
+
 def test_train_step_with_all_augmentations():
     cfg = SEDTConfig.tiny_test()
     cfg = cfg.replace(
