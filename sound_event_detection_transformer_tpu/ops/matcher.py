@@ -211,6 +211,34 @@ def solve_lsap(cost_sq: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(lead + (n,))
 
 
+@jax.custom_jvp
+def _solve_rect_flat(cost: jnp.ndarray) -> jnp.ndarray:
+    """Rectangular LSAP [B, Q, M] (Q <= M) -> [B, M] row-for-column (-1 for
+    the M-Q unassigned columns).
+
+    On TPU the Pallas kernel solves the rectangle directly — inserting only
+    the Q real rows, sum(1..Q) Dijkstra expansions instead of the
+    square-padded sum(1..max(Q,M)) (3.8x fewer at SEDT's 10x20).  Optimality
+    is unchanged: square-padding adds rows with a uniform BIG cost, a
+    constant offset that cannot alter the real rows' optimal columns.
+    """
+    B, Q, M = cost.shape
+    if jax.default_backend() == "tpu":
+        from .pallas.hungarian import pallas_hungarian_packed
+
+        return pallas_hungarian_packed(cost)
+    row4col = batched_hungarian(_square_pad(cost))[:, :M]
+    return jnp.where(row4col < Q, row4col, -1)
+
+
+@_solve_rect_flat.defjvp
+def _solve_rect_jvp(primals, tangents):
+    (cost,) = primals
+    out = _solve_rect_flat(cost)
+    zero = jnp.zeros(out.shape, dtype=jax.dtypes.float0)
+    return out, zero
+
+
 def assign(cost: jnp.ndarray, tgt_valid: jnp.ndarray) -> tuple:
     """Solve the batched LSAP and decode real query<->target pairs.
 
@@ -222,13 +250,19 @@ def assign(cost: jnp.ndarray, tgt_valid: jnp.ndarray) -> tuple:
        query_for_tgt [B,M] int32, tgt_matched [B,M] bool)
     """
     B, Q, M = cost.shape
-    sq = _square_pad(cost)
-    row4col = solve_lsap(sq)  # [B, N]
-    n = sq.shape[-1]
+    if Q <= M:
+        cols = _solve_rect_flat(cost)  # [B, M]: query per target col, -1 free
+    else:
+        # transpose so rows <= cols, then invert the [B, Q] target-per-query
+        # result back to query-per-target
+        rows = _solve_rect_flat(jnp.swapaxes(cost, 1, 2))  # [B, Q]
+        oh = jax.nn.one_hot(jnp.clip(rows, 0, M - 1), M, dtype=jnp.int32) * (
+            rows >= 0
+        )[..., None].astype(jnp.int32)  # [B, Q, M]
+        cols = (oh * (jnp.arange(Q) + 1)[None, :, None]).sum(axis=1) - 1
 
-    # column j (< M, valid) matched to row r (< Q) is a real pair
-    cols = row4col[:, :M]  # row per target column
-    tgt_matched = tgt_valid & (cols < Q)
+    # column j (valid) matched to a real query row is a real pair
+    tgt_matched = tgt_valid & (cols >= 0) & (cols < Q)
     query_for_tgt = jnp.where(tgt_matched, cols, -1).astype(jnp.int32)
 
     # invert: per query, which target

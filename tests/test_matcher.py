@@ -149,6 +149,57 @@ def test_pallas_hungarian_packed_interpret_parity(rng):
         assert abs(op - sc) <= 1e-2 * max(1.0, abs(sc))
 
 
+def test_pallas_hungarian_packed_rectangular(rng):
+    """Rectangular solve (rows inserted = Q only) is optimal-cost-exact vs
+    scipy's rectangular linear_sum_assignment; free columns report -1."""
+    from sound_event_detection_transformer_tpu.ops.pallas.hungarian import (
+        pallas_hungarian_packed,
+    )
+
+    for Q, M, B in ((10, 20, 9), (3, 7, 4), (1, 5, 2), (8, 8, 3)):
+        costs = (rng.randn(B, Q, M) * rng.uniform(0.1, 10)).astype(np.float32)
+        out = np.asarray(
+            pallas_hungarian_packed(jnp.asarray(costs), interpret=True)
+        )
+        assert out.shape == (B, M)
+        for b in range(B):
+            r, c = linear_sum_assignment(costs[b])
+            sc = costs[b][r, c].sum()
+            assigned = [(out[b, j], j) for j in range(M) if out[b, j] >= 0]
+            assert len(assigned) == Q  # every row matched exactly once
+            assert sorted(q for q, _ in assigned) == list(range(Q))
+            op = sum(costs[b][q, j] for q, j in assigned)
+            assert abs(op - sc) <= 1e-2 * max(1.0, abs(sc)), (Q, M, b)
+
+
+def test_assign_rectangular_orientations(rng):
+    """assign() agrees with scipy for Q<M and Q>M (CPU square-pad path)."""
+    from sound_event_detection_transformer_tpu.ops.matcher import assign
+
+    for Q, M in ((4, 9), (9, 4)):
+        B = 3
+        costs = rng.randn(B, Q, M).astype(np.float32)
+        valid = rng.rand(B, M) < 0.7
+        valid[:, 0] = True
+        masked = np.where(valid[:, None, :], costs, BIG)
+        t4q, qm, q4t, tm = (
+            np.asarray(x) for x in assign(jnp.asarray(masked), jnp.asarray(valid))
+        )
+        for b in range(B):
+            r, c = linear_sum_assignment(masked[b])
+            pairs = {(int(q), int(t)) for q, t in zip(r, c)
+                     if valid[b, t] and masked[b, q, t] < BIG / 2}
+            got = {(int(q), int(t4q[b, q])) for q in range(Q) if qm[b, q]}
+            # optimal cost equality (assignments may tie-swap)
+            sc = sum(masked[b][q, t] for q, t in pairs)
+            op = sum(masked[b][q, t] for q, t in got)
+            assert len(got) == len(pairs), (Q, M, b, got, pairs)
+            assert abs(op - sc) <= 1e-2 * max(1.0, abs(sc))
+            # inverse mapping consistency
+            for q, t in got:
+                assert q4t[b, t] == q and tm[b, t]
+
+
 def test_pallas_hungarian_packed_edge_sizes(rng):
     """Degenerate n=1 and the DCASE shape n=21 (num_queries 20 + 1 pad)."""
     from sound_event_detection_transformer_tpu.ops.pallas.hungarian import (

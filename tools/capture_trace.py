@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler trace of the flagship train step.
+
+Usage: python tools/capture_trace.py [--out /tmp/sedt_trace] [--iters 5]
+       python tools/xplane_report.py /tmp/sedt_trace        # then analyze
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sedt_trace")
+    ap.add_argument("--iters", default=5, type=int)
+    ap.add_argument("--batch", default=64, type=int)
+    ap.add_argument("--compute_dtype", default=None,
+                    help="override model compute dtype")
+    args = ap.parse_args()
+
+    from __graft_entry__ import _flagship_cfg
+    from sound_event_detection_transformer_tpu.engine import (
+        Batch, TrainState, make_train_step,
+    )
+    from sound_event_detection_transformer_tpu.models import build_model, empty_targets
+    from sound_event_detection_transformer_tpu.parallel.optim import make_optimizer
+    from sound_event_detection_transformer_tpu.utils.compilation_cache import (
+        enable as enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    B = args.batch
+    cfg = _flagship_cfg(tiny=False)
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=B))
+    if args.compute_dtype:
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype)
+        )
+    model, wd = build_model(cfg)
+    T, F = cfg.model.max_frames, cfg.model.n_mels
+    rng = jax.random.PRNGKey(0)
+    feats0 = jnp.zeros((B, T, F, 1), jnp.float32)
+    pad = jnp.zeros((B, T), bool)
+    variables = jax.jit(
+        lambda r, f, p: model.init({"params": r, "dropout": r}, f, p, True)
+    )(rng, feats0, pad)
+    tx = make_optimizer(variables["params"], cfg.train, steps_per_epoch=100)
+    state = TrainState(
+        variables["params"], variables.get("frozen", {}),
+        tx.init(variables["params"]), jnp.asarray(0),
+    )
+    rs = np.random.RandomState(0)
+    tgts = empty_targets(B, cfg.model.max_events, cfg.features.max_len_seconds)
+    valid = rs.rand(B, cfg.model.max_events) < 0.3
+    valid[:, 0] = True
+    tgts = tgts._replace(
+        labels=jnp.asarray(
+            rs.randint(0, cfg.model.num_classes, (B, cfg.model.max_events)),
+            jnp.int32),
+        boxes=jnp.stack([
+            jnp.asarray(rs.uniform(0.2, 0.8, (B, cfg.model.max_events))),
+            jnp.asarray(rs.uniform(0.05, 0.3, (B, cfg.model.max_events))),
+        ], -1).astype(jnp.float32),
+        box_valid=jnp.asarray(valid), label_valid=jnp.asarray(valid),
+    )
+    batch = Batch(
+        feats=jnp.asarray(rs.randn(B, T, F, 1), jnp.float32),
+        pad_mask=pad, targets=tgts,
+        strong=jnp.ones((B,), bool), weak=jnp.zeros((B,), bool),
+    )
+    step = make_train_step(model, wd, cfg, tx)
+    key = jax.random.PRNGKey(1)
+    for i in range(3):  # compile + warm outside the trace
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+    _ = float(m["loss"])
+
+    with jax.profiler.trace(args.out):
+        for i in range(args.iters):
+            state, m = step(state, batch, jax.random.fold_in(key, 100 + i))
+        _ = float(m["loss"])
+    print(f"trace written to {args.out} (dtype={cfg.model.compute_dtype}, "
+          f"{args.iters} steps)")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,7 +56,10 @@ def aggregate(planes, device_only=True):
         # avoid double counting: when an "XLA Ops" line exists, module- and
         # step-level lines on the same plane nest the same time
         lines = plane.lines
-        op_lines = [l for l in lines if "Ops" in l.name]
+        # "Async XLA Ops" events overlap the sync line and span their waits
+        op_lines = [l for l in lines if l.name == "XLA Ops"]
+        if not op_lines:
+            op_lines = [l for l in lines if "Ops" in l.name]
         if op_lines:
             lines = op_lines
         for line in lines:
