@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--iters", default=20, type=int)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny geometry (CPU sanity check of the harness)")
+    ap.add_argument("--dropout", default=None, type=float,
+                    help="override model dropout (e.g. 0 to cost the RNG)")
+    ap.add_argument("--step_only", action="store_true",
+                    help="only time the full train step")
     args = ap.parse_args()
 
     from sound_event_detection_transformer_tpu.utils.compilation_cache import (
@@ -61,9 +65,12 @@ def main():
 
     B, ITERS = args.batch, args.iters
     cfg = _flagship_cfg(tiny=args.tiny)
+    mkw = dict(compute_dtype=args.compute_dtype)
+    if args.dropout is not None:
+        mkw["dropout"] = args.dropout
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, batch_size=B),
-        model=dataclasses.replace(cfg.model, compute_dtype=args.compute_dtype),
+        model=dataclasses.replace(cfg.model, **mkw),
     )
     model, wd = build_model(cfg)
     T, F = cfg.model.max_frames, cfg.model.n_mels
@@ -118,6 +125,11 @@ def main():
 
     t = timed(full)
     results["train_step"] = t / ITERS
+    if args.step_only:
+        print(f"batch={B} dtype={args.compute_dtype} dropout={args.dropout}")
+        v = results["train_step"]
+        print(f"  train_step {v * 1e3:8.2f} ms  ({B / v:8.0f} clips/s)")
+        return
     # the step donated the original state buffers; use the live ones for the
     # component timings below
     params, frozen = st["state"].params, st["state"].frozen
