@@ -78,7 +78,10 @@ def main() -> None:
     bs = max(1, args.batch_size)
     for i in range(0, len(wavs), bs):
         chunk = wavs[i : i + bs]
-        batch = np.zeros((len(chunk), n_samples), np.float32)
+        # fixed batch shape: the ragged tail is zero-padded so the jitted
+        # program compiles exactly once (a second compile costs minutes
+        # through this backend's compile service)
+        batch = np.zeros((bs, n_samples), np.float32)
         for j, w in enumerate(chunk):
             audio, _ = read_audio(w, fc.sample_rate)
             n = min(len(audio), n_samples)
