@@ -196,6 +196,28 @@ def collate(
     )
 
 
+def _device_put_batch(b: Batch) -> Batch:
+    """Async host->device transfer of a collated batch.
+
+    Runs inside the prefetch thread so the ~40 ms-latency tunnel transfer
+    overlaps the previous step's compute — the TPU analogue of the
+    reference's side-CUDA-stream data_prefetcher (DataLoad.py:304-336).
+    ``indexes`` stays host-side: eval decoding reads it with numpy.
+    """
+    import jax
+
+    put = lambda x: None if x is None else jax.device_put(np.asarray(x))
+    return Batch(
+        feats=put(b.feats),
+        pad_mask=put(b.pad_mask),
+        targets=jax.tree.map(put, b.targets),
+        strong=put(b.strong),
+        weak=put(b.weak),
+        patches=put(b.patches),
+        indexes=b.indexes,
+    )
+
+
 class Prefetcher:
     """Background-thread batch producer (replaces data_prefetcher,
     DataLoad.py:304-336)."""
@@ -234,6 +256,7 @@ def batch_iterator(
     prefetch: bool = True,
     pad_last: bool = True,
     host_slice: Optional[Sequence[int]] = None,
+    to_device: bool = True,
 ) -> Iterator[Batch]:
     """Compose sampler + collate (+ prefetch thread) into a Batch stream.
 
@@ -305,6 +328,10 @@ def batch_iterator(
                 out_idxs = list(idxs)
                 for k in range(pad_counts.get(bi, 0)):
                     out_idxs[len(out_idxs) - 1 - k] = -1  # padded row marker
-            yield collate(samples, max_events, seconds, uflags, out_idxs)
+            b = collate(samples, max_events, seconds, uflags, out_idxs)
+            # device transfer in this (prefetch) thread overlaps compute;
+            # sharded/multi-host runs keep host batches for
+            # shard_batch_pytree (to_device=False)
+            yield _device_put_batch(b) if to_device else b
 
     return iter(Prefetcher(gen)) if prefetch else gen()

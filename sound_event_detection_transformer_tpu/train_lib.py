@@ -663,7 +663,8 @@ def run_supervised(args) -> Dict[int, float]:
         )
         for i, batch in enumerate(
             batch_iterator(concat, iter(sampler), cfg.model.max_events,
-                           cfg.features.max_len_seconds)
+                           cfg.features.max_len_seconds,
+                           to_device=mesh is None)
         ):
             timer.data_loaded()
             rng, sk = jax.random.split(rng)
