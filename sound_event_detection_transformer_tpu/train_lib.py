@@ -956,16 +956,28 @@ def run_semi(args) -> Dict[int, float]:
         classes = list(cfg.data.classes)
         enc = BoxEncoder(classes, seconds=cfg.features.max_len_seconds)
         frames, mels = cfg.model.max_frames, cfg.model.n_mels
-        synth = SyntheticDataset(4 * batch_sizes[0], classes, frames, mels,
-                                 enc.encode_strong_df, max_events=2, seed=0)
-        weak = SyntheticDataset(4 * batch_sizes[1], classes, frames, mels,
-                                enc.encode_strong_df, max_events=2, seed=1,
+        # sizes scale with --smoke_clips (1/4 strong + 1/4 weak + 1/2
+        # unlabeled, the reference layout); seeds align with
+        # build_synthetic_data (strong 0, weak 2, validation 1) so a
+        # supervised baseline trained on the same strong clips is evaluated
+        # on the SAME held-out set
+        n_strong = max(args.smoke_clips // 4, 4 * batch_sizes[0])
+        n_weak = max(args.smoke_clips // 4, 4 * batch_sizes[1])
+        n_unlab = max(args.smoke_clips // 2, 4 * batch_sizes[2])
+        me = min(3, cfg.model.max_events)  # identical clip statistics to
+        # build_synthetic_data, so the supervised baseline's seed-0 strong
+        # clips and seed-1 validation set are bit-identical
+        synth = SyntheticDataset(n_strong, classes, frames, mels,
+                                 enc.encode_strong_df, max_events=me, seed=0)
+        weak = SyntheticDataset(n_weak, classes, frames, mels,
+                                enc.encode_strong_df, max_events=me, seed=2,
                                 weak_only=True)
-        unlab = SyntheticDataset(4 * batch_sizes[2], classes, frames, mels,
-                                 enc.encode_strong_df, max_events=2, seed=2,
+        unlab = SyntheticDataset(n_unlab, classes, frames, mels,
+                                 enc.encode_strong_df, max_events=me, seed=5,
                                  unlabel=True)
-        valid = SyntheticDataset(16, classes, frames, mels,
-                                 enc.encode_strong_df, max_events=2, seed=3)
+        valid = SyntheticDataset(max(16, args.smoke_clips // 4), classes,
+                                 frames, mels, enc.encode_strong_df,
+                                 max_events=me, seed=1)
         data = {
             "validation": valid, "eval": valid, "encoder": enc,
             "ref_valid": valid.ref_df(), "ref_eval": valid.ref_df(),

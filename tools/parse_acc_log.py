@@ -24,7 +24,8 @@ def parse(path: str):
             m = re.search(r"Epoch (\d+): loss", line)
             if m:
                 epoch = int(m.group(1))
-            if "Metric on validation" in line:
+            if ("Metric on validation" in line
+                    or "model validation" in line):  # semi loop's marker
                 in_validation = True
             elif "Metric on eval" in line:
                 in_validation = False
