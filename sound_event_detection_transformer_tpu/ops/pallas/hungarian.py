@@ -176,6 +176,15 @@ def pallas_hungarian(cost: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
 # which Mosaic also can't lower on values).
 # ---------------------------------------------------------------------------
 
+# Why not ALSO pack 4 problems along the 128 lanes (32 lanes each, nc1<=32)?
+# Arithmetic says no: every Dijkstra iteration needs 2 segment-select
+# broadcasts (pick) and 2 segment-min broadcasts (delta, argmin j1); with
+# aligned-32 segments each costs a 10-step pltpu.roll butterfly (~40 vreg
+# ops), so the iteration grows from ~55 to ~200 vreg ops while serving 4x
+# the problems — total sequential work improves only ~10%, inside
+# measurement noise, for a much more fragile kernel.  An early-exit
+# scf.while variant is also a dead end: a vector-reduction loop condition
+# costs ~35 us PER ITERATION on Mosaic (13x slower overall, measured).
 SUBS = 8
 
 
