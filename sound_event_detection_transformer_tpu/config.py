@@ -206,6 +206,10 @@ class TrainConfig:
     epochs_ls: int = 280  # learning-stage end; fine-tune stage after
     lr_drop: int = 160
     lr_drop_gamma: float = 0.1  # torch StepLR default (train_sedt.py:271)
+    # --adjust_lr (store_false): when False the scheduler is never stepped
+    # (train_sedt.py:315, train_spsedt.py:184, train_ss_sedt.py:206) — the
+    # LR stays at its base value for the whole run.
+    adjust_lr: bool = True
     clip_max_norm: float = 0.1
     accumulating_gradient_steps: int = 1
     accumlating_ema_steps: int = 1

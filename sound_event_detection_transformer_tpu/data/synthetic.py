@@ -56,6 +56,7 @@ class SyntheticDataset:
         unlabel: bool = False,
         transform=None,
         num_patches: Optional[int] = None,
+        fixed_patch_size: bool = False,
     ):
         rng = np.random.RandomState(seed)
         self.items = []
@@ -63,6 +64,7 @@ class SyntheticDataset:
         self.encode_function = encode_function
         self.transform = transform
         self.num_patches = num_patches
+        self.fixed_patch_size = fixed_patch_size
         self._filenames = []
         for i in range(n_clips):
             data, events = make_clip(rng, classes, frames, mels, max_events, seconds)
@@ -104,7 +106,10 @@ class SyntheticDataset:
         if self.num_patches is not None:
             from .transforms import extract_patches, get_random_patch_boxes
 
-            boxes = get_random_patch_boxes(data.shape[0], self.num_patches)
+            boxes = get_random_patch_boxes(
+                data.shape[0], self.num_patches,
+                fixed_patch_size=self.fixed_patch_size,
+            )
             y = dict(y)
             y["labels"] = np.zeros(len(boxes), np.int64)
             y["boxes"] = boxes

@@ -170,13 +170,7 @@ class PSDSEval:
             )
         )
         grid = grid[grid <= max_efpr]
-        tprs = np.stack(
-            [
-                np.interp(grid, xs, ys, left=0.0, right=ys[-1] if len(ys) else 0.0)
-                for xs, ys in curves.values()
-            ]
-        )  # step interp approximated linearly-right; use previous-point semantics
-        # previous-value (staircase) interpolation:
+        # previous-value (staircase) interpolation of each class's envelope
         tprs = np.stack(
             [
                 ys[np.clip(np.searchsorted(xs, grid, side="right") - 1, 0, len(ys) - 1)]

@@ -323,7 +323,13 @@ def set_criterion(
         losses["loss_weak_p"] = loss_weak_p(outputs["at_p"], targets, weak)
 
     # auxiliary decoder layers: fresh plain matching per layer
-    # (reference sedt.py:335-351; matcher called without fine_tune/normalize)
+    # (reference sedt.py:335-351; matcher called without fine_tune/normalize).
+    # NOTE: the final layer's num_boxes deliberately normalizes the aux
+    # layers too — including under fine_tune, where it counts relax-added
+    # queries.  This matches the reference exactly: sedt.py:322-324 computes
+    # num_boxes once from the final-layer coef and sedt.py:348 passes that
+    # same value to every aux get_loss (pinned by
+    # tests/test_criterion.py::test_aux_num_boxes_shared_under_fine_tune).
     if has_aux and strong_mask is not None:
         def aux_one(logits_a, boxes_a, feat_a, m):
             if m is None:

@@ -92,6 +92,10 @@ def make_optimizer(
     def make_sched(base):
         if fixed_lr is not None:
             return lambda _: fixed_lr
+        if not tcfg.adjust_lr:
+            # --adjust_lr=False: the reference never steps the scheduler
+            # (train_sedt.py:315, train_ss_sedt.py:206) — constant base LR
+            return lambda _: base
         if schedule == "cosine":
             return cosine_lr(base, tcfg.epochs, steps_per_epoch)
         return step_lr(base, tcfg.lr_drop, steps_per_epoch, tcfg.lr_drop_gamma)

@@ -237,6 +237,7 @@ def args_to_config(args) -> SEDTConfig:
         epochs=args.epochs,
         epochs_ls=args.epochs_ls,
         lr_drop=args.lr_drop,
+        adjust_lr=args.adjust_lr,
         clip_max_norm=args.clip_max_norm,
         accumulating_gradient_steps=args.accumrating_gradient_steps,
         accumlating_ema_steps=args.accumlating_ema_steps,
@@ -659,6 +660,7 @@ def run_supervised(args) -> Dict[int, float]:
         acc = DeviceMetricAccumulator()
         lr_now = (
             1e-5 if epoch >= args.epochs_ls
+            else cfg.train.lr if not cfg.train.adjust_lr
             else cfg.train.lr * cfg.train.lr_drop_gamma ** (epoch // cfg.train.lr_drop)
         )
         for i, batch in enumerate(
@@ -792,6 +794,7 @@ def run_spsedt(args) -> None:
             args.smoke_clips, list(cfg.data.classes), cfg.model.max_frames,
             cfg.model.n_mels, enc.encode_strong_df, max_events=2, seed=0,
             unlabel=True, num_patches=cfg.model.num_patches,
+            fixed_patch_size=args.fixed_patch_size,
         )
     else:
         from .data.features import SedData

@@ -168,3 +168,48 @@ def test_gradients_flow(rng):
     g = jax.grad(f)(jnp.asarray(rng.randn(2, 4, 4), jnp.float32))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_aux_num_boxes_shared_under_fine_tune(rng):
+    """Aux layers normalize by the FINAL layer's num_boxes — including under
+    fine_tune where relax matching inflates it (reference sedt.py:322-324
+    computes num_boxes once from the final-layer coef; sedt.py:348 passes
+    that same value to every aux get_loss)."""
+    mcfg = _mcfg(aux_loss=True)
+    # large epsilon + alpha: every query within epsilon of a target is kept
+    lcfg = LossConfig(epsilon=2.0, alpha=100.0)
+    t = _targets()
+    B, Q, C = 2, 4, 3
+    logits = jnp.asarray(rng.randn(B, Q, C + 1), jnp.float32)
+    # all queries sit exactly on target 0 of sample 0 -> zero location cost,
+    # so fine_tune relax matches all of them while plain matching keeps 2
+    boxes = jnp.tile(jnp.array([0.3, 0.2], jnp.float32), (B, Q, 1))
+    out = {
+        "pred_logits": logits,
+        "pred_boxes": boxes,
+        "at": jnp.full((B, C), 0.5),
+        # aux layer identical to the final layer: same plain-match raw sums
+        "aux_logits": logits[None],
+        "aux_boxes": boxes[None],
+    }
+    strong = jnp.array([True, True])
+
+    losses_ft, mres_ft = set_criterion(
+        out, t, strong, None, mcfg, lcfg, fine_tune=True,
+        rng=jax.random.PRNGKey(0),
+    )
+    out_plain = {k: v for k, v in out.items() if not k.startswith("aux_")}
+    losses_plain, mres_plain = set_criterion(
+        out_plain, t, strong, None, mcfg, lcfg, fine_tune=False
+    )
+
+    nb_ft = max(float((mres_ft.num_boxes * strong).sum()), 1.0)
+    nb_plain = max(float((mres_plain.num_boxes * strong).sum()), 1.0)
+    assert nb_ft > nb_plain  # relax actually added queries
+    # identical predictions -> identical raw box-loss sums; only the shared
+    # normalizer differs
+    np.testing.assert_allclose(
+        float(losses_ft["loss_bbox_0"]) * nb_ft,
+        float(losses_plain["loss_bbox"]) * nb_plain,
+        rtol=1e-5,
+    )
