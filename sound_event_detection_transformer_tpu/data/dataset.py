@@ -41,6 +41,7 @@ class DataLoadDf:
         mu: float = 0.2,
         fixed_patch_size: bool = False,
         rng: Optional[np.random.RandomState] = None,
+        device_patches: bool = False,
     ):
         self.df = df
         self.encode_function = encode_function
@@ -49,6 +50,7 @@ class DataLoadDf:
         self.num_patches = num_patches
         self.sigma, self.mu = sigma, mu
         self.fixed_patch_size = fixed_patch_size
+        self.device_patches = device_patches
         self.rng = rng or np.random.RandomState()
         self.feat_filenames = df.feature_filename.drop_duplicates()
         self.filenames = df.filename.drop_duplicates()
@@ -101,7 +103,12 @@ class DataLoadDf:
             data, y = self.transform((data, y))
         if self.num_patches is not None:
             y = dict(y)
-            y["patches"] = extract_patches(data, y["boxes"])
+            if self.device_patches:
+                # crops are gathered in-graph from the target boxes instead
+                # (ops/patches.py); drop the encoder's placeholder key
+                y.pop("patches", None)
+            else:
+                y["patches"] = extract_patches(data, y["boxes"])
         return data, y
 
 

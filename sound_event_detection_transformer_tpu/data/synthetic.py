@@ -57,6 +57,7 @@ class SyntheticDataset:
         transform=None,
         num_patches: Optional[int] = None,
         fixed_patch_size: bool = False,
+        device_patches: bool = False,
     ):
         rng = np.random.RandomState(seed)
         self.items = []
@@ -65,6 +66,7 @@ class SyntheticDataset:
         self.transform = transform
         self.num_patches = num_patches
         self.fixed_patch_size = fixed_patch_size
+        self.device_patches = device_patches
         self._filenames = []
         for i in range(n_clips):
             data, events = make_clip(rng, classes, frames, mels, max_events, seconds)
@@ -113,5 +115,8 @@ class SyntheticDataset:
             y = dict(y)
             y["labels"] = np.zeros(len(boxes), np.int64)
             y["boxes"] = boxes
-            y["patches"] = extract_patches(data, boxes)
+            if self.device_patches:  # crops gathered in-graph instead
+                y.pop("patches", None)
+            else:
+                y["patches"] = extract_patches(data, boxes)
         return data, y

@@ -143,6 +143,15 @@ def make_train_step(
             )
         if augment_on:
             batch = _apply_augment(cfg, batch, r_aug)
+        if cfg.model.self_sup and batch.patches is None:
+            # on-device patch crops from the (already-transferred) target
+            # boxes — replaces shipping a second [B, P, 128, 64] host tensor
+            # every step (ops/patches.py)
+            from .ops.patches import extract_patches_device
+
+            batch = batch._replace(patches=extract_patches_device(
+                batch.feats, batch.targets.boxes[:, : cfg.model.num_patches]
+            ))
 
         frozen_mask = _frozen_param_mask(state.params)
 

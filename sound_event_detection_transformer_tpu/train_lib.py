@@ -384,13 +384,25 @@ def evaluate(
     cal_clip: bool = False,
     batch_size: Optional[int] = None,
     psds_thresholds: Optional[Sequence[float]] = None,
+    weight_dict: Optional[Dict[str, float]] = None,
 ) -> Dict[int, float]:
     """Full eval: jitted forward+postprocess, host decode, native metrics
-    (reference engine.py:199-297)."""
+    (reference engine.py:199-297).
+
+    When ``weight_dict`` is given, the per-batch criterion losses computed on
+    device are accumulated and logged as "Val averaged stats" (reference
+    engine.py:246-257,293).  Padded tail rows contribute to the loss means
+    (they repeat the final real sample, so the bias is a fraction of one
+    batch).
+    """
     import pandas as pd
+
+    from .parallel.distribute import get_reduced_loss
+    from .utils.meters import DeviceMetricAccumulator, MetricLogger
 
     log = create_logger(__name__ + "/evaluate")
     bs = batch_size or cfg.data.batch_size
+    loss_acc = DeviceMetricAccumulator() if weight_dict is not None else None
     audio_tag_rows = []
     dec_rows: Dict[int, List] = {m: [] for m in fusion_strategy}
     raw: Dict[int, List] = {m: [] for m in fusion_strategy}  # for PSDS OPs
@@ -401,6 +413,8 @@ def evaluate(
         return_indexes=True, prefetch=True,
     ):
         res = eval_step(state.params, state.frozen, batch)
+        if loss_acc is not None:
+            loss_acc.update(res["losses"])  # device-side sums, one fetch
         idxs = np.asarray(batch.indexes)
         if at and "at" in res:
             tags = np.asarray(res["at"]) > 0.5
@@ -437,6 +451,12 @@ def evaluate(
                         )
                     )
     log.info(f"eval forward+decode in {time.time() - t0:.1f}s")
+
+    if loss_acc is not None and loss_acc.steps:
+        means, _ = loss_acc.means()
+        vlog = MetricLogger(delimiter="  ")
+        get_reduced_loss(means, weight_dict, vlog)
+        log.info("Val averaged stats:\n" + str(vlog))
 
     at_df = pd.DataFrame(
         audio_tag_rows, columns=["filename", "event_label", "onset", "offset"]
@@ -646,11 +666,12 @@ def run_supervised(args) -> Dict[int, float]:
             info = info + "_ft"
 
         from .parallel.distribute import get_reduced_loss
-        from .utils.meters import DeviceMetricAccumulator, MetricLogger
+        from .utils.meters import DeviceMetricAccumulator, Heartbeat, MetricLogger
         from .utils.profiler import StepTimer
 
         t0 = time.time()
         timer = StepTimer()
+        hb = Heartbeat(log.info, steps_per_epoch)
         # per-term scaled+unscaled meters + lr, as the reference logs each
         # epoch (engine.py:39-95, utils.py:338-436).  Metrics accumulate ON
         # DEVICE and transfer once per epoch — a per-step fetch is a ~40 ms
@@ -675,6 +696,13 @@ def run_supervised(args) -> Dict[int, float]:
             state, m = train_step(state, batch, sk)
             acc.update(m)  # device-side sum, fully async
             timer.step_done()
+            hb.tick(i)
+            # periodic finiteness probe: bound wasted compute on long epochs
+            # (one ~40 ms fetch per 500 steps; the epoch-end check remains
+            # the backstop)
+            if (i + 1) % 500 == 0 and not np.isfinite(float(m["loss"])):
+                log.info("Loss is not finite (mid-epoch probe), stopping")
+                raise SystemExit(1)
         means, n_steps = acc.means()  # single fetch; also the epoch barrier
         loss_mean = means.pop("loss", float("nan"))
         class_error = means.pop("class_error", 0.0)
@@ -705,6 +733,7 @@ def run_supervised(args) -> Dict[int, float]:
         metrics = evaluate(
             eval_step, state, data["validation"], cfg, enc, data["ref_valid"],
             cfg.train.fusion_strategy, at=cfg.model.dec_at,
+            weight_dict=weight_dict,
         )
         stop = False
         for m, f1 in metrics.items():
@@ -794,7 +823,7 @@ def run_spsedt(args) -> None:
             args.smoke_clips, list(cfg.data.classes), cfg.model.max_frames,
             cfg.model.n_mels, enc.encode_strong_df, max_events=2, seed=0,
             unlabel=True, num_patches=cfg.model.num_patches,
-            fixed_patch_size=args.fixed_patch_size,
+            fixed_patch_size=args.fixed_patch_size, device_patches=True,
         )
     else:
         from .data.features import SedData
@@ -833,7 +862,7 @@ def run_spsedt(args) -> None:
         train_data = DataLoadDf(
             unlabel_df, enc.encode_strong_df, tf, in_memory=cfg.data.in_memory,
             num_patches=cfg.model.num_patches,
-            fixed_patch_size=args.fixed_patch_size,
+            fixed_patch_size=args.fixed_patch_size, device_patches=True,
         )
 
     model, weight_dict = build_model(cfg)
@@ -889,20 +918,33 @@ def run_spsedt(args) -> None:
         acc = DeviceMetricAccumulator()  # device-side sums, one fetch/epoch
         order = np.random.permutation(len(train_data))
         nb = len(order) // cfg.data.batch_size
-        for b in range(nb):
-            idxs = order[b * cfg.data.batch_size : (b + 1) * cfg.data.batch_size]
-            from .data.dataset import collate
+        index_batches = [
+            order[b * cfg.data.batch_size : (b + 1) * cfg.data.batch_size].tolist()
+            for b in range(nb)
+        ]
+        # NO prefetch thread here, deliberately: at the pretrain recipe
+        # geometry (batch 200) a producer thread measured 1.5-2x SLOWER than
+        # the plain loop (GIL contention with dispatch; jit's async dispatch
+        # already overlaps host collate with device compute).  The heavy
+        # patch tensor no longer crosses the host boundary at all — crops
+        # are gathered in-graph from the target boxes (ops/patches.py).
+        from .utils.meters import Heartbeat
 
-            batch = collate(
-                [train_data[i] for i in idxs], cfg.model.max_events,
-                cfg.features.max_len_seconds,
-            )
+        hb = Heartbeat(log.info, nb)
+        for i, batch in enumerate(batch_iterator(
+            train_data, index_batches, cfg.model.max_events,
+            cfg.features.max_len_seconds, to_device=False, prefetch=False,
+        )):
             # patch boxes ARE the targets in self-sup (labels all 0)
             rng, sk = jax.random.split(rng)
             if mesh is not None:
                 batch = shard_batch_pytree(batch, mesh)
             state, m = train_step(state, batch, sk)
             acc.update({"loss": m["loss"]})
+            hb.tick(i)
+            if (i + 1) % 500 == 0 and not np.isfinite(float(m["loss"])):
+                log.info("Loss is not finite (mid-epoch probe), stopping")
+                raise SystemExit(1)
         loss_mean = acc.means()[0].get("loss", float("nan"))
         log.info(
             f"Epoch {epoch}: loss {loss_mean:.4f} ({nb} steps, "
@@ -1038,6 +1080,29 @@ def run_semi(args) -> Dict[int, float]:
     weak_flag = jnp.asarray((pos >= batch_sizes[0]) & (pos < batch_sizes[0] + batch_sizes[1]))
     unlabel_flag = jnp.asarray(pos >= batch_sizes[0] + batch_sizes[1])
 
+    # SPMD data parallelism for the semi step.  The reference semi trainer is
+    # single-GPU (train_ss_sedt.py has no DDP hook); sharding here makes the
+    # framework's SPMD story uniform.  The fixed 1/4+1/4+1/2 stream layout is
+    # mesh-friendly: pjit keeps GLOBAL array semantics, so the per-device
+    # stream composition never affects correctness (pinned by
+    # tests/test_sharding.py::test_semi_step_dp_matches_single_device).
+    from .parallel.mesh import batch_sharding, replicated
+
+    mesh = None
+    if jax.device_count() > 1 and B % jax.device_count() == 0:
+        mesh = make_mesh(C.MeshConfig())
+        put_rep = lambda tree: jax.device_put(
+            tree, jax.tree.map(lambda _: replicated(mesh), tree)
+        )
+        state = TrainState(put_rep(state.params), put_rep(state.frozen),
+                           put_rep(state.opt_state), state.step)
+        ema_params = put_rep(ema_params)
+        fsh = batch_sharding(mesh)
+        strong_flag = jax.device_put(strong_flag, fsh)
+        weak_flag = jax.device_put(weak_flag, fsh)
+        unlabel_flag = jax.device_put(unlabel_flag, fsh)
+        log.info(f"semi data-parallel mesh: {dict(mesh.shape)} (replaces DDP)")
+
     prior = np.asarray(DCASE_CLASS_PRIOR[: cfg.model.num_classes], np.float64)
     prior = prior / prior.sum()
     origin_threshold = np.full((cfg.model.num_classes,), 0.5)
@@ -1055,17 +1120,27 @@ def run_semi(args) -> Dict[int, float]:
     from .parallel.distribute import get_reduced_loss
     from .utils.meters import DeviceMetricAccumulator, MetricLogger
 
+    from .utils.meters import Heartbeat
+
     for epoch in range(args.epochs):
         t0 = time.time()
         mlog = MetricLogger(delimiter="  ")
         acc = DeviceMetricAccumulator()  # device-side sums, one fetch/epoch
+        hb = Heartbeat(log.info, steps_per_epoch)
         for i, batch in enumerate(
             batch_iterator(concat, iter(sampler), cfg.model.max_events,
                            cfg.features.max_len_seconds,
-                           unlabel_streams=(2,))
+                           unlabel_streams=(2,), to_device=mesh is None)
         ):
             rng, k_noise, k_m1, k_m2, k_m3, k_step = jax.random.split(rng, 6)
-            feats = jnp.asarray(batch.feats)
+            if mesh is not None:
+                feats, pad_mask_d, targets_d = shard_batch_pytree(
+                    (batch.feats, batch.pad_mask, batch.targets), mesh
+                )
+            else:
+                feats = jnp.asarray(batch.feats)
+                pad_mask_d = jnp.asarray(batch.pad_mask)
+                targets_d = jax.tree.map(jnp.asarray, batch.targets)
             teacher_feats, student_feats = aug_ops.gaussian_noise_pair(
                 feats, k_noise, snr=cfg.features.noise_snr, p=0.5
             )
@@ -1079,12 +1154,15 @@ def run_semi(args) -> Dict[int, float]:
             do_ema = jnp.asarray((i + 1) % cfg.train.accumlating_ema_steps == 0)
             state, ema_params, m, counts = semi_step(
                 state, ema_params, teacher_feats, student_feats,
-                jnp.asarray(batch.pad_mask),
-                jax.tree.map(jnp.asarray, batch.targets),
+                pad_mask_d, targets_d,
                 strong_flag, weak_flag, unlabel_flag,
                 jnp.asarray(classwise_threshold, jnp.float32), k_step, do_ema,
             )
             acc.update({**m, "pseudo_counts": counts})  # async device sums
+            hb.tick(i)
+            if (i + 1) % 500 == 0 and not np.isfinite(float(m["loss"])):
+                log.info("Loss is not finite (mid-epoch probe), stopping")
+                raise SystemExit(1)
         totals = acc.totals()  # single fetch; also the epoch barrier
         n_steps = acc.steps
         counts_epoch = totals.pop("pseudo_counts", np.zeros(cfg.model.num_classes))
@@ -1121,6 +1199,7 @@ def run_semi(args) -> Dict[int, float]:
         metrics = evaluate(
             eval_step, eval_state, data["validation"], cfg, data["encoder"],
             data["ref_valid"], cfg.train.fusion_strategy, at=cfg.model.dec_at,
+            weight_dict=weight_dict,
         )
         stop = False
         for m_, f1 in metrics.items():
@@ -1291,12 +1370,20 @@ def run_audio_tag(args) -> float:
     f1 = 0.0
     from .utils.meters import DeviceMetricAccumulator
 
+    from .data.dataset import Prefetcher
+
     for epoch in range(args.epochs):
         order = np.random.permutation(len(train_data))
         acc = DeviceMetricAccumulator()  # device-side sums, one fetch/epoch
-        for b in range(len(order) // bs):
-            idxs = order[b * bs : (b + 1) * bs]
-            x, y = collate_weak([train_data[i] for i in idxs])
+
+        def epoch_batches(order=order):
+            # collate_weak's jnp.asarray device-transfers inside this
+            # (prefetch) thread, overlapping the previous step's compute
+            for b in range(len(order) // bs):
+                idxs = order[b * bs : (b + 1) * bs]
+                yield collate_weak([train_data[i] for i in idxs])
+
+        for x, y in Prefetcher(epoch_batches):
             params, opt_state, loss = at_step(params, frozen, opt_state, x, y)
             acc.update({"loss": loss})
         log.info(

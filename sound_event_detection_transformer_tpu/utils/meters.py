@@ -116,6 +116,37 @@ class SmoothedValue:
         )
 
 
+class Heartbeat:
+    """Time-based intra-epoch progress line (the role of the reference's
+    ``MetricLogger.log_every`` ETA, utils.py:384-436) with ZERO device
+    fetches: rate and ETA come from host wall-clock + dispatched-step count
+    only, so it never breaks the one-fetch-per-epoch discipline.  With async
+    dispatch the rate is the *dispatch* rate; on a saturated pipeline that
+    converges to true step rate within a queue depth.
+    """
+
+    def __init__(self, log_fn, total_steps: int, interval_s: float = 60.0):
+        self.log_fn = log_fn
+        self.total = total_steps
+        self.interval_s = interval_s
+        self._t0 = time.time()
+        self._last = self._t0
+
+    def tick(self, i: int) -> None:
+        """Call once per step with the 0-based step index."""
+        now = time.time()
+        if now - self._last < self.interval_s:
+            return
+        self._last = now
+        done = i + 1
+        rate = done / max(now - self._t0, 1e-9)
+        eta = (self.total - done) / max(rate, 1e-9)
+        self.log_fn(
+            f"  [{done}/{self.total}] {rate:.2f} steps/s dispatched, "
+            f"eta {datetime.timedelta(seconds=int(eta))}"
+        )
+
+
 class DeviceMetricAccumulator:
     """Sums per-step metric pytrees ON DEVICE; one host fetch per epoch.
 

@@ -34,7 +34,16 @@ def annotate(name: str) -> Iterator[None]:
 
 
 class StepTimer:
-    """data_time / batch_time meters (reference engine.py:39-47,87-93)."""
+    """data_time / batch_time meters (reference engine.py:39-47,87-93).
+
+    CAVEAT: in the device-accumulated train loops (no per-step fetch) every
+    step call returns as soon as XLA *dispatch* completes, so ``batch_time``
+    measures host dispatch latency only — NOT device execution.  Honest
+    per-step time is epoch wall-clock / n_steps (what the epoch log line
+    reports); op-level truth comes from tools/xplane_report.py.  The meters
+    stay useful for spotting host-side stalls (data_time) and dispatch
+    hiccups, which is why the loops still carry them.
+    """
 
     def __init__(self):
         self.data_time = AverageMeter()

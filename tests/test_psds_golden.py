@@ -127,3 +127,62 @@ def test_macro_f_score_golden():
     macro, per_class = psds.compute_macro_f_score(det)
     np.testing.assert_allclose(per_class["A"], 2.0 / 3.0)
     np.testing.assert_allclose(macro, 2.0 / 3.0)
+
+
+def test_psds_tied_efpr_takes_max_tpr():
+    """Two OPs at the SAME eFPR with different TPR (the tie case psds.py's
+    header flags): the monotone envelope must keep the larger TPR and the
+    zero-width segment contributes no area.  OPs (25, 0.3), (25, 0.7) ->
+    staircase 0 on [0,25), 0.7 on [25,100] -> 0.7*75/100 = 0.525."""
+    gt = _df([("f1.wav", 2.0, 6.0, "A")])
+    psds = PSDSEval(ground_truth=gt, metadata=META)
+    psds.operating_points = [
+        {"tpr": {"A": 0.3}, "fpr": {"A": 25.0}, "ctr": {"A": {}}},
+        {"tpr": {"A": 0.7}, "fpr": {"A": 25.0}, "ctr": {"A": {}}},
+    ]
+    res = psds.psds(alpha_ct=0.0, alpha_st=0.0, max_efpr=100.0)
+    np.testing.assert_allclose(res.value, 0.525)
+
+
+def test_psds_duplicate_operating_points_are_idempotent():
+    """Registering the identical OP twice (duplicate decode thresholds
+    produce identical detections) must not change the score."""
+    gt = _df([("f1.wav", 2.0, 6.0, "A")])
+    one = PSDSEval(ground_truth=gt, metadata=META)
+    one.operating_points = [
+        {"tpr": {"A": 0.5}, "fpr": {"A": 25.0}, "ctr": {"A": {}}},
+    ]
+    two = PSDSEval(ground_truth=gt, metadata=META)
+    two.operating_points = one.operating_points * 2
+    np.testing.assert_allclose(
+        one.psds(0.0, 0.0, 100.0).value, two.psds(0.0, 0.0, 100.0).value
+    )
+    np.testing.assert_allclose(one.psds(0.0, 0.0, 100.0).value, 0.375)
+
+
+def test_psds_non_monotone_tpr_enveloped():
+    """A worse OP at higher eFPR (more FPs, fewer TPs) must be absorbed by
+    the monotone envelope: OPs (25, 0.8), (50, 0.5) -> staircase 0.8 from
+    eFPR 25 on -> 0.8*75/100 = 0.6."""
+    gt = _df([("f1.wav", 2.0, 6.0, "A")])
+    psds = PSDSEval(ground_truth=gt, metadata=META)
+    psds.operating_points = [
+        {"tpr": {"A": 0.8}, "fpr": {"A": 25.0}, "ctr": {"A": {}}},
+        {"tpr": {"A": 0.5}, "fpr": {"A": 50.0}, "ctr": {"A": {}}},
+    ]
+    res = psds.psds(alpha_ct=0.0, alpha_st=0.0, max_efpr=100.0)
+    np.testing.assert_allclose(res.value, 0.6)
+
+
+def test_psds_op_at_max_efpr_boundary():
+    """An OP exactly AT max_efpr adds a zero-width segment: (50, 0.5) +
+    (100, 1.0) at max_efpr=100 -> 0.5 on [50,100), no width left for the
+    1.0 point -> 0.25."""
+    gt = _df([("f1.wav", 2.0, 6.0, "A")])
+    psds = PSDSEval(ground_truth=gt, metadata=META)
+    psds.operating_points = [
+        {"tpr": {"A": 0.5}, "fpr": {"A": 50.0}, "ctr": {"A": {}}},
+        {"tpr": {"A": 1.0}, "fpr": {"A": 100.0}, "ctr": {"A": {}}},
+    ]
+    res = psds.psds(alpha_ct=0.0, alpha_st=0.0, max_efpr=100.0)
+    np.testing.assert_allclose(res.value, 0.25)

@@ -102,3 +102,84 @@ def test_entry_compiles_small():
 
     res = fn(variables["params"], variables.get("frozen", {}), feats, pad)
     assert np.isfinite(np.asarray(res)).all()
+
+
+def test_semi_step_dp_matches_single_device():
+    """Mean-teacher semi step over the 8-device data mesh == single device.
+
+    The fixed 1/4+1/4+1/2 stream layout shards over ``data``; pjit's global
+    array semantics make per-device stream composition irrelevant
+    (train_lib.run_semi's mesh path)."""
+    import __graft_entry__ as g
+    from sound_event_detection_transformer_tpu.engine import (
+        TrainState, make_semi_train_step,
+    )
+    from sound_event_detection_transformer_tpu.models import (
+        build_model, empty_targets,
+    )
+    from sound_event_detection_transformer_tpu.parallel.mesh import (
+        replicated,
+    )
+    from sound_event_detection_transformer_tpu.parallel.optim import (
+        make_optimizer,
+    )
+
+    cfg = g._flagship_cfg(tiny=True)
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=8))
+    model, wd = build_model(cfg)
+    B, T, F = 8, cfg.model.max_frames, cfg.model.n_mels
+    rng = jax.random.PRNGKey(0)
+    feats0 = jnp.zeros((B, T, F, 1), jnp.float32)
+    pad = np.zeros((B, T), bool)
+    variables = model.init({"params": rng, "dropout": rng}, feats0, pad, True)
+    params = variables["params"]
+    tx = make_optimizer(params, cfg.train, steps_per_epoch=10)
+    state = TrainState(params, variables.get("frozen", {}), tx.init(params),
+                       jnp.asarray(0))
+    ema = jax.tree.map(jnp.copy, params)
+
+    step = make_semi_train_step(model, wd, cfg, tx, n_labeled=4)
+
+    npr = np.random.RandomState(0)
+    tfeat = npr.randn(B, T, F, 1).astype(np.float32)
+    sfeat = tfeat + npr.randn(B, T, F, 1).astype(np.float32) * 0.01
+    tgts = empty_targets(B, cfg.model.max_events, 10.0)
+    tgts = tgts._replace(
+        labels=tgts.labels.at[:, 0].set(1),
+        boxes=tgts.boxes.at[:, 0].set(jnp.array([0.5, 0.2])),
+        box_valid=tgts.box_valid.at[:4, 0].set(True),
+        label_valid=tgts.label_valid.at[:4, 0].set(True),
+    )
+    pos = np.arange(B)
+    strong = pos < 2
+    weak = (pos >= 2) & (pos < 4)
+    unlab = pos >= 4
+    thr = np.full((cfg.model.num_classes,), 0.5, np.float32)
+    k = jax.random.PRNGKey(7)
+    do_ema = jnp.asarray(True)
+
+    # single device: uncommitted host inputs
+    _, ema1, m1, c1 = step(state, ema, tfeat, sfeat, pad, tgts,
+                           strong, weak, unlab, thr, k, do_ema)
+
+    mesh = make_mesh(MeshConfig())
+    put_rep = lambda tree: jax.device_put(
+        tree, jax.tree.map(lambda _: replicated(mesh), tree)
+    )
+    state_r = TrainState(put_rep(state.params), put_rep(state.frozen),
+                         put_rep(state.opt_state), state.step)
+    fsh = batch_sharding(mesh)
+    tfeat_s, sfeat_s, pad_s, tgts_s = shard_batch_pytree(
+        (tfeat, sfeat, pad, tgts), mesh
+    )
+    strong_s = jax.device_put(strong, fsh)
+    weak_s = jax.device_put(weak, fsh)
+    unlab_s = jax.device_put(unlab, fsh)
+    _, ema2, m2, c2 = step(state_r, put_rep(ema), tfeat_s, sfeat_s, pad_s,
+                           tgts_s, strong_s, weak_s, unlab_s, thr, k, do_ema)
+
+    # bf16 compute: cross-device psum reduction order shifts the loss at
+    # the ~2e-4 relative level
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2))
