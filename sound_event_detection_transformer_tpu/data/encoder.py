@@ -157,6 +157,34 @@ class BoxEncoder:
                 result.append([event, row[1], row[2], row[0]])
         return result
 
+    def decode_strong_batch(
+        self, scores: np.ndarray, labels: np.ndarray, boxes: np.ndarray,
+        threshold: float = 0.5, min_duration: float = 0.2,
+    ) -> Dict[int, List[List]]:
+        """Batch decode: [B, Q] arrays -> {sample: decode_strong(sample)}.
+
+        Exact same per-sample results as :meth:`decode_strong`; the score /
+        min-duration prefilter runs vectorized over the whole batch first so
+        the python loop only visits surviving (sample, query) entries —
+        an order-of-magnitude cut for the multi-threshold PSDS sweep, where
+        high thresholds keep almost nothing (train_lib.evaluate).
+        """
+        scores = np.asarray(scores)
+        labels = np.asarray(labels)
+        boxes = np.asarray(boxes)
+        keep = (scores >= threshold) & (
+            (boxes[..., 1] - boxes[..., 0]) >= min_duration
+        )
+        out: Dict[int, List[List]] = {}
+        for b in np.nonzero(keep.any(axis=1))[0]:
+            k = keep[b]
+            out[int(b)] = self.decode_strong(
+                {"scores": scores[b][k], "labels": labels[b][k],
+                 "boxes": boxes[b][k]},
+                threshold=threshold, min_duration=min_duration,
+            )
+        return out
+
     def state_dict(self):
         return {"labels": self.labels, "n_frames": self.seconds}
 

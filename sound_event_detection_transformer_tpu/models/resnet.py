@@ -251,6 +251,13 @@ class AudioTagBackbone(nn.Module):
     dilation: bool = True
     pooling: str = "max"  # 'max' | 'avg'
     num_classes: int = 10
+    # logits_out: return pre-sigmoid logits so the trainer can use the
+    # numerically-stable log-space BCE.  The reference trains probabilities
+    # through torch BCELoss (train_at.py:208) — safe there only because its
+    # ImageNet-initialized backbone never saturates; from a cold start the
+    # clipped probability-space BCE has zero gradient wherever the sigmoid
+    # saturates and the model never recovers (observed: loss frozen at init).
+    logits_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -262,4 +269,4 @@ class AudioTagBackbone(nn.Module):
         h = nn.Dense(1000, name="fc1")(pooled)
         h = nn.relu(h)
         h = nn.Dense(self.num_classes, name="fc2")(h)
-        return nn.sigmoid(h)
+        return h if self.logits_out else nn.sigmoid(h)

@@ -433,13 +433,11 @@ def evaluate(
             boxes = np.asarray(pp.boxes)
             if psds_thresholds is not None:
                 raw[m].append((scores, labels, boxes, idxs.copy()))
-            for j in range(len(idxs)):
+            for j, pred in decoder.decode_strong_batch(
+                scores, labels, boxes, threshold=0.5
+            ).items():
                 if idxs[j] < 0:  # padded tail row
                     continue
-                pred = decoder.decode_strong(
-                    {"scores": scores[j], "labels": labels[j], "boxes": boxes[j]},
-                    threshold=0.5,
-                )
                 for lbl, on, off, sc in pred:
                     dec_rows[m].append(
                         dict(
@@ -489,13 +487,12 @@ def evaluate(
             for thr in psds_thresholds:
                 rows = []
                 for scores, labels, boxes, idxs in raw[m]:
-                    for j in range(len(idxs)):
+                    for j, pred in decoder.decode_strong_batch(
+                        scores, labels, boxes, threshold=thr
+                    ).items():
                         if idxs[j] < 0:
                             continue
-                        for lbl, on, off, sc in decoder.decode_strong(
-                            {"scores": scores[j], "labels": labels[j],
-                             "boxes": boxes[j]}, threshold=thr,
-                        ):
+                        for lbl, on, off, sc in pred:
                             rows.append(
                                 (filenames.iloc[idxs[j]],
                                  float(np.clip(on, 0, cfg.features.max_len_seconds)),
@@ -1327,6 +1324,7 @@ def run_audio_tag(args) -> float:
     model = AudioTagBackbone(
         arch=cfg.model.backbone, dilation=cfg.model.dilation,
         pooling=args.pooling or "avg", num_classes=len(classes),
+        logits_out=True,  # stable log-space BCE (see AudioTagBackbone note)
     )
     rng = jax.random.PRNGKey(cfg.train.seed)
     x0 = jnp.zeros((1, cfg.model.max_frames, cfg.model.n_mels, 1))
@@ -1346,10 +1344,10 @@ def run_audio_tag(args) -> float:
     @jax.jit
     def at_step(params, frozen, opt_state, x, y):
         def loss_fn(p):
-            out = model.apply({"params": p, "frozen": frozen}, x)
-            eps = 1e-7
-            out = jnp.clip(out, eps, 1 - eps)
-            return -(y * jnp.log(out) + (1 - y) * jnp.log(1 - out)).mean()
+            z = model.apply({"params": p, "frozen": frozen}, x)  # logits
+            # log-space BCE == torch BCELoss on sigmoid(z) (train_at.py:208)
+            # but with gradient (sigmoid(z) - y) that survives saturation
+            return optax.sigmoid_binary_cross_entropy(z, y).mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -1357,7 +1355,7 @@ def run_audio_tag(args) -> float:
 
     @jax.jit
     def at_forward(params, frozen, x):
-        return model.apply({"params": params, "frozen": frozen}, x)
+        return jax.nn.sigmoid(model.apply({"params": params, "frozen": frozen}, x))
 
     def collate_weak(samples):
         xs = np.stack([s[0] for s in samples]).astype(np.float32)[..., None]

@@ -187,3 +187,30 @@ def test_batch_iterator_host_slice():
         np.testing.assert_array_equal(
             f.feats, np.concatenate([a.feats, b.feats], axis=0)
         )
+
+
+def test_decode_strong_batch_matches_per_sample():
+    """decode_strong_batch == sample-by-sample decode_strong (the vectorized
+    prefilter must not change results), across thresholds."""
+    from sound_event_detection_transformer_tpu.data.encoder import BoxEncoder
+
+    enc = BoxEncoder(["A", "B", "C"], seconds=10.0)
+    r = np.random.RandomState(3)
+    B, Q = 16, 10
+    scores = r.rand(B, Q).astype(np.float32)
+    labels = r.randint(0, 3, (B, Q))
+    on = r.rand(B, Q).astype(np.float32) * 8
+    dur = r.rand(B, Q).astype(np.float32) * 2  # some below the 0.2 s cut
+    boxes = np.stack([on, on + dur], axis=-1)
+    for thr in (0.1, 0.5, 0.9):
+        batch = enc.decode_strong_batch(scores, labels, boxes, threshold=thr)
+        for j in range(B):
+            ref = enc.decode_strong(
+                {"scores": scores[j], "labels": labels[j], "boxes": boxes[j]},
+                threshold=thr,
+            )
+            got = batch.get(j, [])
+            assert len(got) == len(ref)
+            for a, b in zip(sorted(got), sorted(ref)):
+                assert a[0] == b[0]
+                np.testing.assert_allclose(a[1:], b[1:], rtol=1e-6)
