@@ -42,6 +42,7 @@ class DataLoadDf:
         fixed_patch_size: bool = False,
         rng: Optional[np.random.RandomState] = None,
         device_patches: bool = False,
+        cache_transformed: bool = False,
     ):
         self.df = df
         self.encode_function = encode_function
@@ -51,6 +52,14 @@ class DataLoadDf:
         self.sigma, self.mu = sigma, mu
         self.fixed_patch_size = fixed_patch_size
         self.device_patches = device_patches
+        # cache the POST-transform (data, y) per index.  The host transform
+        # chain (log -> pad -> normalize, data/transforms.py) is deterministic
+        # and was measured to dominate full-geometry epochs (~0.3 s of a
+        # 0.37 s step waiting on the prefetcher); stochastic augmentation
+        # runs on device, so caching is exact.  Disabled automatically for
+        # the randomized patch path.
+        self.cache_transformed = cache_transformed and num_patches is None
+        self._tcache: Dict[int, Tuple[np.ndarray, Dict]] = {}
         self.rng = rng or np.random.RandomState()
         self.feat_filenames = df.feature_filename.drop_duplicates()
         self.filenames = df.filename.drop_duplicates()
@@ -80,6 +89,8 @@ class DataLoadDf:
         return "empty"
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, Dict]:
+        if self.cache_transformed and index in self._tcache:
+            return self._tcache[index]
         data = self._features(self.feat_filenames.iloc[index])
         if self.num_patches is not None:
             boxes = get_random_patch_boxes(
@@ -109,6 +120,8 @@ class DataLoadDf:
                 y.pop("patches", None)
             else:
                 y["patches"] = extract_patches(data, y["boxes"])
+        if self.cache_transformed:
+            self._tcache[index] = (data, y)
         return data, y
 
 

@@ -345,22 +345,29 @@ def build_real_data(cfg: SEDTConfig, args) -> Dict:
     tf = get_transforms(cfg.model.max_frames, scaler, compute_log=True)
     out = {"encoder": enc, "scaler": scaler}
     if cfg.data.dataset_name == "urbansed":
+        cache = cfg.data.in_memory  # post-transform cache (see DataLoadDf)
         out["train"] = DataLoadDf(
-            dfs["train"], enc.encode_strong_df, tf, in_memory=cfg.data.in_memory
+            dfs["train"], enc.encode_strong_df, tf,
+            in_memory=cfg.data.in_memory, cache_transformed=cache,
         )
-        out["validation"] = DataLoadDf(dfs["validation"], enc.encode_strong_df, tf)
-        out["eval"] = DataLoadDf(dfs["eval"], enc.encode_strong_df, tf)
+        out["validation"] = DataLoadDf(dfs["validation"], enc.encode_strong_df,
+                                       tf, cache_transformed=cache)
+        out["eval"] = DataLoadDf(dfs["eval"], enc.encode_strong_df, tf,
+                                 cache_transformed=cache)
         out["ref_valid"] = dfs["validation"].drop("feature_filename", axis=1)
         out["ref_eval"] = dfs["eval"].drop("feature_filename", axis=1)
     else:
+        cache = cfg.data.in_memory
         out["train"] = ConcatDataset([
             DataLoadDf(dfs["synthetic"], enc.encode_strong_df, tf,
-                       in_memory=cfg.data.in_memory),
+                       in_memory=cfg.data.in_memory, cache_transformed=cache),
             DataLoadDf(dfs["weak"], enc.encode_strong_df, tf,
-                       in_memory=cfg.data.in_memory),
+                       in_memory=cfg.data.in_memory, cache_transformed=cache),
         ])
-        out["validation"] = DataLoadDf(dfs["validation"], enc.encode_strong_df, tf)
-        out["eval"] = DataLoadDf(dfs["eval"], enc.encode_strong_df, tf)
+        out["validation"] = DataLoadDf(dfs["validation"], enc.encode_strong_df,
+                                       tf, cache_transformed=cache)
+        out["eval"] = DataLoadDf(dfs["eval"], enc.encode_strong_df, tf,
+                                 cache_transformed=cache)
         out["ref_valid"] = dfs["validation"].drop("feature_filename", axis=1)
         out["ref_eval"] = dfs["eval"].drop("feature_filename", axis=1)
     return out
@@ -1039,7 +1046,8 @@ def run_semi(args) -> Dict[int, float]:
         enc = data["encoder"]
         tf = get_transforms(cfg.model.max_frames, data["scaler"], compute_log=True)
         unlab = DataLoadDf(unlabel_df, enc.encode_strong_df, tf,
-                           in_memory=cfg.data.in_memory)
+                           in_memory=cfg.data.in_memory,
+                           cache_transformed=cfg.data.in_memory)
         # train datasets already built: [synthetic, weak] — rebuild in semi order
         concat = ConcatDataset(list(data["train"].datasets) + [unlab])
 
@@ -1315,10 +1323,12 @@ def run_audio_tag(args) -> float:
                                   compute_log=True)
         train_data = ConcatDataset([
             DataLoadDf(dfs[k], mhe.encode_weak, tf,
-                       in_memory=cfg.data.in_memory)
+                       in_memory=cfg.data.in_memory,
+                       cache_transformed=cfg.data.in_memory)
             for k in train_keys
         ])
-        valid = DataLoadDf(dfs["validation"], mhe.encode_weak, tf)
+        valid = DataLoadDf(dfs["validation"], mhe.encode_weak, tf,
+                           cache_transformed=cfg.data.in_memory)
         ref_valid = dfs["validation"].drop("feature_filename", axis=1)
 
     model = AudioTagBackbone(

@@ -168,3 +168,25 @@ def test_run_audio_tag_real_data(tmp_path, rng):
     # best checkpoint written
     mdir = os.path.join(str(tmp_path / "exp"), "dcase", "model")
     assert any(f.startswith("at_") for f in os.listdir(mdir))
+
+
+def test_cache_transformed_exact(tmp_path, rng):
+    """cache_transformed returns bit-identical samples to the uncached path
+    (the transform chain is deterministic; cache must be exact)."""
+    root = str(tmp_path / "ds2")
+    tsv = _write_dataset(root, rng)
+    ds = SedData("dcase", base_feature_dir=os.path.join(root, "features"),
+                 compute_log=False)
+    df = ds.initialize_and_get_df(tsv)
+    enc = BoxEncoder(CLASSES, seconds=10.0)
+    tf = get_transforms(496, None, compute_log=True)
+    plain = DataLoadDf(df, enc.encode_strong_df, tf)
+    cached = DataLoadDf(df, enc.encode_strong_df, tf, cache_transformed=True)
+    for i in range(len(plain)):
+        d0, y0 = plain[i]
+        d1, y1 = cached[i]
+        d2, y2 = cached[i]  # second access: from cache
+        np.testing.assert_array_equal(d0, d1)
+        np.testing.assert_array_equal(d0, d2)
+        np.testing.assert_array_equal(y0["boxes"], y2["boxes"])
+        assert d2 is d1  # cache hit returns the stored object
