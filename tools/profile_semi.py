@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--enc_layers", default=6, type=int)
     ap.add_argument("--dec_layers", default=6, type=int)
     ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--components", action="store_true",
+                    help="also time teacher-fwd / pseudo-NMS / grad-step "
+                         "separately (where do the 60 ms go?)")
     args = ap.parse_args()
 
     from sound_event_detection_transformer_tpu.utils.compilation_cache import (
@@ -113,6 +116,45 @@ def main():
     print(f"semi step batch={B} enc/dec={args.enc_layers}/{args.dec_layers} "
           f"dtype={args.compute_dtype}: {dt * 1e3:.2f} ms "
           f"({B / dt:.0f} clips/s)")
+
+    if not args.components:
+        return
+
+    # --- component split: teacher fwd | pseudo-label NMS | nothing else ---
+    from sound_event_detection_transformer_tpu.engine import get_pseudo_labels
+
+    unl = slice(n_labeled, None)
+
+    @jax.jit
+    def teacher_fwd(params, frozen, feats, pad):
+        return model.apply({"params": params, "frozen": frozen},
+                           feats[unl], pad[unl], True)
+
+    @jax.jit
+    def pseudo_only(tea_out, thr, orig):
+        t, counts = get_pseudo_labels(tea_out, thr, orig[unl],
+                                      cfg.model.max_events)
+        return counts
+
+    def timed(fn, *a, iters=args.iters):
+        out = fn(*a)
+        _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*a)
+            _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+            ts.append((time.perf_counter() - t0) / iters)
+        return float(np.median(ts))
+
+    t_tea = timed(teacher_fwd, state.params, state.frozen, tfeats, pad)
+    tea_out = teacher_fwd(state.params, state.frozen, tfeats, pad)
+    t_nms = timed(pseudo_only, tea_out, thr, tgts.orig_size)
+    print(f"  teacher fwd (unlabeled half, deterministic): {t_tea*1e3:.2f} ms")
+    print(f"  pseudo-labels (postprocess + same-class NMS): {t_nms*1e3:.2f} ms")
+    print(f"  remainder (sup fwd + student fwd + bwd + opt + EMA): "
+          f"{(dt - t_tea - t_nms)*1e3:.2f} ms")
 
 
 if __name__ == "__main__":
