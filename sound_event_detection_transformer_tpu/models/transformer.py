@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.attention import scaled_dot_attention
+from ..ops.dropout import Dropout
 
 def _dense(d, name, dtype=None):
     return nn.Dense(
@@ -76,7 +77,7 @@ class FFN(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         h = _dense(self.dim_feedforward, "linear1", self.dtype)(x)
         h = _activation(self.activation)(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
         return _dense(self.d_model, "linear2", self.dtype)(h)
 
 
@@ -91,7 +92,7 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, src, pos, key_bias, deterministic=True):
-        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        drop = lambda x: Dropout(self.dropout)(x, deterministic=deterministic)
         attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
                                   self.dtype, name="self_attn")
         ffn = FFN(self.d_model, self.dim_feedforward, self.dropout,
@@ -125,7 +126,7 @@ class DecoderLayer(nn.Module):
     def __call__(
         self, tgt, memory, query_pos, pos, mem_key_bias, self_attn_bias, deterministic=True
     ):
-        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        drop = lambda x: Dropout(self.dropout)(x, deterministic=deterministic)
         sa = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
                                 self.dtype, name="self_attn")
         ca = MultiHeadAttention(self.d_model, self.nhead, self.dropout,

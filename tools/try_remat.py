@@ -14,6 +14,20 @@ bottleneck) for recompute FLOPs:
                 the PRNG in bwd instead of being stored);
   * nothing   — nothing_saveable: full recompute of the forward in bwd.
 
+A fourth variant, ``dropmask``, saves everything EXCEPT checkpoint-named
+dropout keep masks (see ops/dropout.py) — the surgical version of the
+"regenerate dropout in bwd" idea.
+
+MEASURED (TPU v5e, batch 64, bf16, 2026-08-17):
+  baseline   28.69 ms/step  (2231 clips/s)
+  dropmask   29.13 ms/step  (2197 clips/s)   <- neutral: XLA ALREADY
+             rematerializes dropout masks (baseline bwd fusions take the
+             threefry keys as inputs in the xplane trace)
+  dots       36.39 ms/step  (1759 clips/s)   <- recompute > saved traffic
+  nothing    37.56 ms/step  (1704 clips/s)
+Conclusion: the step is compute-bound and remat in any form does not pay;
+see the roofline analysis in README.md.
+
 Methodology per CLAUDE.md: chain ITERS data-dependent steps, fetch one
 scalar (block_until_ready lies on this backend).
 Usage: python tools/try_remat.py [--batch 64] [--iters 20]
@@ -92,8 +106,13 @@ def main():
     batch = Batch(feats=feats, pad_mask=pad, targets=tgts,
                   strong=jnp.ones((B,), bool), weak=jnp.zeros((B,), bool))
 
+    from sound_event_detection_transformer_tpu.ops.dropout import (
+        remat_dropout_policy,
+    )
+
     pols = {
         "baseline": None,
+        "dropmask": remat_dropout_policy(),
         "dots": jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
         "nothing": jax.checkpoint_policies.nothing_saveable,
     }
