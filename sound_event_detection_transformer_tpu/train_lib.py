@@ -1367,12 +1367,30 @@ def run_audio_tag(args) -> float:
     def at_forward(params, frozen, x):
         return jax.nn.sigmoid(model.apply({"params": params, "frozen": frozen}, x))
 
-    def collate_weak(samples):
+    def collate_weak(samples, to_device=True):
         xs = np.stack([s[0] for s in samples]).astype(np.float32)[..., None]
         ys = np.stack([np.asarray(s[1], np.float32) for s in samples])
-        return jnp.asarray(xs), jnp.asarray(ys)
+        if to_device:
+            return jnp.asarray(xs), jnp.asarray(ys)
+        return xs, ys
 
     bs = cfg.data.batch_size
+
+    # SPMD data parallelism over all local devices (replaces the DDP the
+    # reference never wires into train_at.py; same mesh as the other
+    # trainers).  Single-device runs skip the mesh entirely.
+    from .parallel.mesh import replicated
+
+    mesh = None
+    if jax.device_count() > 1 and bs % jax.device_count() == 0:
+        mesh = make_mesh(C.MeshConfig())
+        put_rep = lambda tree: jax.device_put(
+            tree, jax.tree.map(lambda _: replicated(mesh), tree)
+        )
+        params, frozen, opt_state = (
+            put_rep(params), put_rep(frozen), put_rep(opt_state),
+        )
+        log.info(f"AT data-parallel mesh: {dict(mesh.shape)} (replaces DDP)")
     best = SaveBest("sup")
     model_path = osp.join(model_dir, f"at_{args.pooling or 'avg'}_{cfg.data.dataset_name}")
     f1 = 0.0
@@ -1386,12 +1404,17 @@ def run_audio_tag(args) -> float:
 
         def epoch_batches(order=order):
             # collate_weak's jnp.asarray device-transfers inside this
-            # (prefetch) thread, overlapping the previous step's compute
+            # (prefetch) thread, overlapping the previous step's compute;
+            # under a mesh the batch stays host-side and is sharded below
             for b in range(len(order) // bs):
                 idxs = order[b * bs : (b + 1) * bs]
-                yield collate_weak([train_data[i] for i in idxs])
+                yield collate_weak(
+                    [train_data[i] for i in idxs], to_device=mesh is None
+                )
 
         for x, y in Prefetcher(epoch_batches):
+            if mesh is not None:
+                x, y = shard_batch_pytree((x, y), mesh)
             params, opt_state, loss = at_step(params, frozen, opt_state, x, y)
             acc.update({"loss": loss})
         log.info(
@@ -1402,7 +1425,10 @@ def run_audio_tag(args) -> float:
         rows = []
         for b in range(0, len(valid), bs):
             idxs = list(range(b, min(b + bs, len(valid))))
-            x, _ = collate_weak([valid[i] for i in idxs])
+            x, _ = collate_weak([valid[i] for i in idxs], to_device=mesh is None)
+            if mesh is not None:
+                # ragged tail batches can't shard evenly; replicate instead
+                x = jax.device_put(x, replicated(mesh))
             out = np.asarray(at_forward(params, frozen, x)) > 0.5
             for j, row in enumerate(out):
                 for lbl in mhe.decode_weak(row.astype(int)):

@@ -158,7 +158,9 @@ def test_run_audio_tag_real_data(tmp_path, rng):
         "--exp_root", str(tmp_path / "exp"),
         "--backbone", "resnet18",
         "--epochs", "1",
-        "--batch_size", "4",
+        # batch 8 == the conftest's 8 virtual devices: exercises the AT
+        # trainer's data-parallel mesh path (replicated params, sharded batch)
+        "--batch_size", "8",
         "--num_classes", "3",
         "--lr", "1e-4",
     ])
