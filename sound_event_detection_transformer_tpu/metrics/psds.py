@@ -91,7 +91,11 @@ class PSDSEval:
         nref = {
             c: int((self.gt.event_label == c).sum()) for c in self.classes
         }
-        for fname, gdf in gt_by_file.items():
+        # Iterate the UNION of files: detections on a clip with no ground-truth
+        # rows are still false positives (psds_eval scores every metadata file).
+        empty_gt = self.gt.iloc[0:0]
+        for fname in set(gt_by_file) | set(det_by_file):
+            gdf = gt_by_file.get(fname, empty_gt)
             ddf = det_by_file.get(fname)
             for c in self.classes:
                 g = gdf[gdf.event_label == c][["onset", "offset"]].values
