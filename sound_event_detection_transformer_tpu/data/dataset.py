@@ -60,6 +60,7 @@ class DataLoadDf:
         # the randomized patch path.
         self.cache_transformed = cache_transformed and num_patches is None
         self._tcache: Dict[int, Tuple[np.ndarray, Dict]] = {}
+        self._ycache: Dict[int, Dict] = {}  # targets_only memo (bank mode)
         self.rng = rng or np.random.RandomState()
         self.feat_filenames = df.feature_filename.drop_duplicates()
         self.filenames = df.filename.drop_duplicates()
@@ -87,6 +88,55 @@ class DataLoadDf:
                 return v.split(",")
             return []
         return "empty"
+
+    def features_only(self, index: int) -> Tuple[np.ndarray, int]:
+        """Post-transform features + RAW frame count, no label work.
+
+        Used by :class:`~..data.feature_bank.FeatureBank`; exact because the
+        host transform chain never reads the label (transforms.py:121-143).
+        The raw (pre-pad) frame count is returned so the randomized patch
+        path can keep drawing boxes against the original length, matching
+        ``__getitem__``.
+        """
+        data = self._features(self.feat_filenames.iloc[index])
+        t_raw = data.shape[0]
+        if self.transform is not None:
+            data, _ = self.transform((data, None))
+        return data, t_raw
+
+    def targets_only(self, index: int, t_raw: int) -> Dict:
+        """The label dict ``__getitem__`` would produce, minus feature work.
+
+        For the SP-SEDT patch path this draws FRESH random patch boxes from
+        the dataset's RandomState — consuming it in the same per-call order
+        as ``__getitem__``, so a seeded run is unchanged.  The deterministic
+        (annotation) path is memoized: ``_raw_label`` scans the DataFrame per
+        call, which would otherwise run B times per step in bank mode.
+        """
+        if self.num_patches is None and index in self._ycache:
+            return self._ycache[index]
+        if self.num_patches is not None:
+            boxes = get_random_patch_boxes(
+                t_raw, self.num_patches, self.mu, self.sigma,
+                self.fixed_patch_size, self.rng,
+            )
+            y = self.encode_function.__self__.encode_unlabel(boxes) if hasattr(
+                self.encode_function, "__self__"
+            ) else {"labels": np.zeros(len(boxes), np.int64), "boxes": boxes,
+                    "orig_size": np.asarray(10.0)}
+            y = dict(y)
+            y["boxes"] = boxes
+            y.pop("patches", None)  # crops are gathered in-graph
+            return y
+        raw = self._raw_label(index)
+        if self.encode_function is not None:
+            y = self.encode_function(raw)
+        else:
+            y = {"labels": np.zeros((0,), np.int64),
+                 "boxes": np.zeros((0, 2), np.float32),
+                 "orig_size": np.asarray(10.0)}
+        self._ycache[index] = y
+        return y
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, Dict]:
         if self.cache_transformed and index in self._tcache:
@@ -144,12 +194,24 @@ class ConcatDataset:
     def __len__(self):
         return self.cumulative_sizes[-1]
 
-    def __getitem__(self, idx: int):
+    def _locate(self, idx: int):
         import bisect
 
         d = bisect.bisect_right(self.cumulative_sizes, idx)
         local = idx if d == 0 else idx - self.cumulative_sizes[d - 1]
-        return self.datasets[d][local]
+        return self.datasets[d], local
+
+    def __getitem__(self, idx: int):
+        d, local = self._locate(idx)
+        return d[local]
+
+    def features_only(self, idx: int):
+        d, local = self._locate(idx)
+        return d.features_only(local)
+
+    def targets_only(self, idx: int, t_raw: int):
+        d, local = self._locate(idx)
+        return d.targets_only(local, t_raw)
 
     @property
     def filenames(self):
@@ -277,8 +339,15 @@ def batch_iterator(
     pad_last: bool = True,
     host_slice: Optional[Sequence[int]] = None,
     to_device: bool = True,
+    bank=None,
 ) -> Iterator[Batch]:
     """Compose sampler + collate (+ prefetch thread) into a Batch stream.
+
+    ``bank``: a :class:`~.feature_bank.FeatureBank` — batches are emitted
+    with ``feats=None`` and ``indexes`` always populated; the consumer fills
+    feats on device via ``bank.gather(np.maximum(batch.indexes, 0))`` (after
+    any ``shard_batch_pytree``), so no spectrogram ever crosses the host
+    boundary.  Single-host only.
 
     ``pad_last``: repeat the final sample to keep the last batch full-sized
     (avoids a second jit compilation for the ragged tail; padded rows carry
@@ -296,6 +365,7 @@ def batch_iterator(
 
         if jax.process_count() > 1:
             host_slice = (jax.process_index(), jax.process_count())
+    assert bank is None or not host_slice, "FeatureBank is single-host only"
 
     def slice_for_host(idxs):
         if not host_slice:
@@ -337,7 +407,6 @@ def batch_iterator(
                 # eval (return_indexes) stays full-batch on every host; only
                 # training batches shard across hosts
                 idxs = slice_for_host(idxs)
-            samples = [dataset[i] for i in idxs]
             uflags = None
             if cluster_of is not None:
                 uflags = np.array(
@@ -348,7 +417,26 @@ def batch_iterator(
                 out_idxs = list(idxs)
                 for k in range(pad_counts.get(bi, 0)):
                     out_idxs[len(out_idxs) - 1 - k] = -1  # padded row marker
-            b = collate(samples, max_events, seconds, uflags, out_idxs)
+            if bank is not None:
+                ys = [dataset.targets_only(i, bank.raw_frames[i])
+                      for i in idxs]
+                targets, strong, weak = to_dense_targets(
+                    ys, max_events, seconds
+                )
+                if uflags is not None:
+                    strong = strong & ~uflags
+                    weak = weak & ~uflags
+                b = Batch(
+                    feats=None,
+                    pad_mask=np.zeros((len(idxs), bank.shape[1]), bool),
+                    targets=targets, strong=strong, weak=weak,
+                    indexes=np.asarray(
+                        out_idxs if out_idxs is not None else idxs, np.int32
+                    ),
+                )
+            else:
+                samples = [dataset[i] for i in idxs]
+                b = collate(samples, max_events, seconds, uflags, out_idxs)
             # device transfer in this (prefetch) thread overlaps compute;
             # sharded/multi-host runs keep host batches for
             # shard_batch_pytree (to_device=False)

@@ -100,6 +100,34 @@ class SyntheticDataset:
     def __len__(self):
         return len(self.items)
 
+    def features_only(self, idx: int):
+        """Post-transform features + frame count (FeatureBank protocol).
+
+        Patch boxes in ``__getitem__`` are drawn against the POST-transform
+        shape here (features are generated at the target geometry), so the
+        returned frame count is post-transform.
+        """
+        data = self.items[idx][0]
+        if self.transform is not None:
+            data, _ = self.transform((data, None))
+        return data, data.shape[0]
+
+    def targets_only(self, idx: int, t_raw: int):
+        """Label dict matching ``__getitem__``, minus feature work."""
+        y = self.encode_function(self.items[idx][1])
+        if self.num_patches is not None:
+            from .transforms import get_random_patch_boxes
+
+            boxes = get_random_patch_boxes(
+                t_raw, self.num_patches,
+                fixed_patch_size=self.fixed_patch_size,
+            )
+            y = dict(y)
+            y["labels"] = np.zeros(len(boxes), np.int64)
+            y["boxes"] = boxes
+            y.pop("patches", None)  # crops gathered in-graph
+        return y
+
     def __getitem__(self, idx: int):
         data, label_arg = self.items[idx]
         y = self.encode_function(label_arg)

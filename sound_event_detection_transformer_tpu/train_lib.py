@@ -128,6 +128,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--query_shuffle", action="store_true", default=False)
     p.add_argument("--num_patches", default=10, type=int)
     p.add_argument("--fixed_patch_size", action="store_true", default=False)
+    p.add_argument("--device_data", dest="device_data", action="store_true",
+                   default=True,
+                   help="hold the whole dataset's features in HBM and gather "
+                        "batches in-graph (FeatureBank); on by default in the "
+                        "supervised/semi/SP-SEDT trainers when the bank fits")
+    p.add_argument("--no_device_data", dest="device_data",
+                   action="store_false")
     # loss
     p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false")
     p.add_argument("--set_cost_class", default=1, type=float)
@@ -392,6 +399,7 @@ def evaluate(
     batch_size: Optional[int] = None,
     psds_thresholds: Optional[Sequence[float]] = None,
     weight_dict: Optional[Dict[str, float]] = None,
+    bank=None,
 ) -> Dict[int, float]:
     """Full eval: jitted forward+postprocess, host decode, native metrics
     (reference engine.py:199-297).
@@ -417,8 +425,12 @@ def evaluate(
     t0 = time.time()
     for batch in batch_iterator(
         dataset, bs, cfg.model.max_events, cfg.features.max_len_seconds,
-        return_indexes=True, prefetch=True,
+        return_indexes=True, prefetch=True, bank=bank,
     ):
+        if bank is not None:  # fill feats from HBM (padded -1 rows clamp)
+            batch = batch._replace(
+                feats=bank.gather(np.maximum(np.asarray(batch.indexes), 0))
+            )
         res = eval_step(state.params, state.frozen, batch)
         if loss_acc is not None:
             loss_acc.update(res["losses"])  # device-side sums, one fetch
@@ -641,6 +653,20 @@ def run_supervised(args) -> Dict[int, float]:
         )
         log.info(f"data-parallel mesh: {dict(mesh.shape)}")
 
+    # Device-resident feature banks: the whole dataset's post-transform
+    # features live in HBM and each step/eval batch is gathered in-graph —
+    # the measured real-data loop was transfer-bound through the tunnel
+    # (~0.5 s of a ~0.6 s step shipping 8 MB of spectrograms; see
+    # data/feature_bank.py).
+    from .data.feature_bank import maybe_bank
+
+    train_bank = maybe_bank(args, concat, cfg, mesh=mesh, log=log)
+    valid_bank = maybe_bank(args, data["validation"], cfg, log=log)
+    evalset_bank = (
+        maybe_bank(args, data["eval"], cfg, log=log)
+        if data.get("eval") is not None else None
+    )
+
     best_saver = {m: SaveBest("sup") for m in cfg.train.fusion_strategy}
     early = EarlyStopping(
         patience=cfg.train.early_stopping_patience,
@@ -691,12 +717,19 @@ def run_supervised(args) -> Dict[int, float]:
         for i, batch in enumerate(
             batch_iterator(concat, iter(sampler), cfg.model.max_events,
                            cfg.features.max_len_seconds,
-                           to_device=mesh is None)
+                           to_device=mesh is None, bank=train_bank)
         ):
             timer.data_loaded()
             rng, sk = jax.random.split(rng)
+            idx = batch.indexes
+            if train_bank is not None:
+                batch = batch._replace(indexes=None)
             if mesh is not None:
                 batch = shard_batch_pytree(batch, mesh)
+            if train_bank is not None:
+                batch = batch._replace(
+                    feats=train_bank.gather(np.maximum(idx, 0))
+                )
             state, m = train_step(state, batch, sk)
             acc.update(m)  # device-side sum, fully async
             timer.step_done()
@@ -737,7 +770,7 @@ def run_supervised(args) -> Dict[int, float]:
         metrics = evaluate(
             eval_step, state, data["validation"], cfg, enc, data["ref_valid"],
             cfg.train.fusion_strategy, at=cfg.model.dec_at,
-            weight_dict=weight_dict,
+            weight_dict=weight_dict, bank=valid_bank,
         )
         stop = False
         for m, f1 in metrics.items():
@@ -763,7 +796,7 @@ def run_supervised(args) -> Dict[int, float]:
         log.info("Metric on validation")
         evaluate(eval_step, state, data["validation"], cfg, enc,
                  data["ref_valid"], [m], at=cfg.model.dec_at, cal_seg=True,
-                 cal_clip=True)
+                 cal_clip=True, bank=valid_bank)
         log.info("Metric on eval")
         metrics = evaluate(
             eval_step, state, data["eval"], cfg, enc, data["ref_eval"], [m],
@@ -772,6 +805,7 @@ def run_supervised(args) -> Dict[int, float]:
                 tuple(np.arange(0.1, 1.0, 0.1)) if getattr(args, "psds", False)
                 else None
             ),
+            bank=evalset_bank,
         )
     return metrics
 
@@ -917,6 +951,16 @@ def run_spsedt(args) -> None:
 
     from .utils.meters import DeviceMetricAccumulator
 
+    # Device-resident feature bank: ship indices, not spectrograms.  The
+    # pretrain recipe (batch 200) pays ~25 MB of host->device feature
+    # transfer per step through the tunnel; with the bank the whole dataset
+    # sits in HBM once and each step gathers its batch in-graph
+    # (data/feature_bank.py).  Falls back to the host stream when the bank
+    # would not comfortably fit or when running multi-host.
+    from .data.feature_bank import maybe_bank
+
+    bank = maybe_bank(args, train_data, cfg, mesh=mesh, log=log)
+
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         acc = DeviceMetricAccumulator()  # device-side sums, one fetch/epoch
@@ -938,11 +982,17 @@ def run_spsedt(args) -> None:
         for i, batch in enumerate(batch_iterator(
             train_data, index_batches, cfg.model.max_events,
             cfg.features.max_len_seconds, to_device=False, prefetch=False,
+            bank=bank,
         )):
             # patch boxes ARE the targets in self-sup (labels all 0)
             rng, sk = jax.random.split(rng)
+            idx = batch.indexes
+            if bank is not None:
+                batch = batch._replace(indexes=None)
             if mesh is not None:
                 batch = shard_batch_pytree(batch, mesh)
+            if bank is not None:
+                batch = batch._replace(feats=bank.gather(idx))
             state, m = train_step(state, batch, sk)
             acc.update({"loss": m["loss"]})
             hb.tick(i)
@@ -1122,6 +1172,14 @@ def run_semi(args) -> Dict[int, float]:
     metrics: Dict[int, float] = {}
     a = cfg.augment
 
+    # Device-resident feature bank (see run_supervised): all three streams'
+    # features live in HBM; noise pairs / masks already run on device, so
+    # the host ships only indices and dense-target scalars per step.
+    from .data.feature_bank import maybe_bank
+
+    semi_bank = maybe_bank(args, concat, cfg, mesh=mesh, log=log)
+    valid_bank = maybe_bank(args, data["validation"], cfg, log=log)
+
     from .parallel.distribute import get_reduced_loss
     from .utils.meters import DeviceMetricAccumulator, MetricLogger
 
@@ -1135,15 +1193,25 @@ def run_semi(args) -> Dict[int, float]:
         for i, batch in enumerate(
             batch_iterator(concat, iter(sampler), cfg.model.max_events,
                            cfg.features.max_len_seconds,
-                           unlabel_streams=(2,), to_device=mesh is None)
+                           unlabel_streams=(2,), to_device=mesh is None,
+                           bank=semi_bank)
         ):
             rng, k_noise, k_m1, k_m2, k_m3, k_step = jax.random.split(rng, 6)
             if mesh is not None:
-                feats, pad_mask_d, targets_d = shard_batch_pytree(
-                    (batch.feats, batch.pad_mask, batch.targets), mesh
+                pad_mask_d, targets_d = shard_batch_pytree(
+                    (batch.pad_mask, batch.targets), mesh
+                )
+                feats = (
+                    semi_bank.gather(np.maximum(batch.indexes, 0))
+                    if semi_bank is not None
+                    else shard_batch_pytree(batch.feats, mesh)
                 )
             else:
-                feats = jnp.asarray(batch.feats)
+                feats = (
+                    semi_bank.gather(np.maximum(batch.indexes, 0))
+                    if semi_bank is not None
+                    else jnp.asarray(batch.feats)
+                )
                 pad_mask_d = jnp.asarray(batch.pad_mask)
                 targets_d = jax.tree.map(jnp.asarray, batch.targets)
             teacher_feats, student_feats = aug_ops.gaussian_noise_pair(
@@ -1204,7 +1272,7 @@ def run_semi(args) -> Dict[int, float]:
         metrics = evaluate(
             eval_step, eval_state, data["validation"], cfg, data["encoder"],
             data["ref_valid"], cfg.train.fusion_strategy, at=cfg.model.dec_at,
-            weight_dict=weight_dict,
+            weight_dict=weight_dict, bank=valid_bank,
         )
         stop = False
         for m_, f1 in metrics.items():
@@ -1231,7 +1299,7 @@ def run_semi(args) -> Dict[int, float]:
         log.info("Metric on validation")
         evaluate(eval_step, state, data["validation"], cfg, data["encoder"],
                  data["ref_valid"], [m_], at=cfg.model.dec_at, cal_seg=True,
-                 cal_clip=True)
+                 cal_clip=True, bank=valid_bank)
         log.info("Metric on eval")
         metrics = evaluate(eval_step, state, data["eval"], cfg, data["encoder"],
                            data["ref_eval"], [m_], at=cfg.model.dec_at,
