@@ -47,3 +47,27 @@ def test_metric_logger_str():
     mlog.update(loss=1.0, lr=0.1)
     s = str(mlog)
     assert "loss" in s and "lr" in s
+
+
+def test_heartbeat_time_gated(monkeypatch):
+    """Heartbeat logs on wall-clock intervals, not step counts, and its
+    rate/ETA come from host time only (no device fetches to patch out)."""
+    from sound_event_detection_transformer_tpu.utils import meters
+
+    now = [1000.0]
+    monkeypatch.setattr(meters.time, "time", lambda: now[0])
+    lines = []
+    hb = meters.Heartbeat(lines.append, total_steps=100, interval_s=60.0)
+
+    now[0] += 10.0
+    hb.tick(0)          # 10 s in: below the interval, silent
+    assert lines == []
+
+    now[0] += 55.0
+    hb.tick(4)          # 65 s in: one line, 5 steps done
+    assert len(lines) == 1 and "[5/100]" in lines[0]
+    assert "steps/s dispatched" in lines[0]  # honest: dispatch rate, not device rate
+
+    now[0] += 1.0
+    hb.tick(5)          # 1 s later: gated again
+    assert len(lines) == 1
