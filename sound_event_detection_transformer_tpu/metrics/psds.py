@@ -44,6 +44,34 @@ def _intersection(a_on, a_off, b_on, b_off) -> float:
     return max(0.0, min(a_off, b_off) - max(a_on, b_on))
 
 
+def _by_file_class(df, classes=None) -> Dict:
+    """DataFrame -> {filename: {class: (onset[], offset[]) float arrays}}."""
+    out: Dict = {}
+    if df is None or not len(df):
+        return out
+    for f, fdf in df.groupby("filename"):
+        d = {}
+        for c, cdf in fdf.groupby("event_label"):
+            if classes is not None and c not in classes:
+                continue  # detections outside the GT label set are ignored
+            d[c] = (
+                cdf.onset.values.astype(float),
+                cdf.offset.values.astype(float),
+            )
+        out[f] = d
+    return out
+
+
+def _pair_intersections(d_on, d_off, g_on, g_off) -> np.ndarray:
+    """[D, G] pairwise interval intersections."""
+    return np.clip(
+        np.minimum(d_off[:, None], g_off[None, :])
+        - np.maximum(d_on[:, None], g_on[None, :]),
+        0.0,
+        None,
+    )
+
+
 class PSDSEval:
     def __init__(
         self,
@@ -73,68 +101,60 @@ class PSDSEval:
             for c in self.classes
         }
         self.operating_points: List[Dict] = []
+        # ground truth never changes across operating points: group its
+        # intervals per (file, class) ONCE — re-filtering pandas frames per
+        # detection made the 9-threshold PSDS sweep take minutes per point
+        self._gt_np = _by_file_class(ground_truth)
 
     def _evaluate_op(self, detections) -> Dict:
         tpr = {}
         fpr = {}
         ctr = {c: {k: 0.0 for k in self.classes if k != c} for c in self.classes}
-        gt_by_file = {
-            f: df for f, df in self.gt.groupby("filename")
-        }
-        det_by_file = (
-            {f: df for f, df in detections.groupby("filename")}
-            if len(detections)
-            else {}
-        )
+        class_set = set(self.classes)
+        det_np = _by_file_class(detections, classes=class_set)
         tp_count = {c: 0 for c in self.classes}
         fp_count = {c: 0 for c in self.classes}
         nref = {
             c: int((self.gt.event_label == c).sum()) for c in self.classes
         }
+        empty = np.zeros(0)
         # Iterate the UNION of files: detections on a clip with no ground-truth
         # rows are still false positives (psds_eval scores every metadata file).
-        empty_gt = self.gt.iloc[0:0]
-        for fname in set(gt_by_file) | set(det_by_file):
-            gdf = gt_by_file.get(fname, empty_gt)
-            ddf = det_by_file.get(fname)
-            for c in self.classes:
-                g = gdf[gdf.event_label == c][["onset", "offset"]].values
-                d = (
-                    ddf[ddf.event_label == c][["onset", "offset"]].values
-                    if ddf is not None
-                    else np.zeros((0, 2))
+        for fname in set(self._gt_np) | set(det_np):
+            gts = self._gt_np.get(fname, {})
+            dets = det_np.get(fname, {})
+            # classes absent from BOTH contribute nothing (even under
+            # degenerate thresholds: no dets -> no FPs, no gts -> no TPs)
+            for c in set(gts) | set(dets):
+                g_on, g_off = gts.get(c, (empty, empty))
+                d_on, d_off = dets.get(c, (empty, empty))
+                # [D, G] pairwise intersections drive both DTC and GTC
+                inter = _pair_intersections(d_on, d_off, g_on, g_off)
+                dur = np.maximum(d_off - d_on, 1e-9)
+                valid = inter.sum(axis=1) / dur >= self.dtc
+                gdur = np.maximum(g_off - g_on, 1e-9)
+                tp_count[c] += int(
+                    (inter[valid].sum(axis=0) / gdur >= self.gtc).sum()
                 )
-                # DTC per detection
-                valid = np.zeros(len(d), bool)
-                for i, (don, doff) in enumerate(d):
-                    dur = max(doff - don, 1e-9)
-                    inter = sum(_intersection(don, doff, gon, goff) for gon, goff in g)
-                    valid[i] = inter / dur >= self.dtc
-                # GTC per ground truth
-                for gon, goff in g:
-                    gdur = max(goff - gon, 1e-9)
-                    inter = sum(
-                        _intersection(don, doff, gon, goff)
-                        for (don, doff), v in zip(d, valid)
-                        if v
-                    )
-                    if inter / gdur >= self.gtc:
-                        tp_count[c] += 1
-                # FPs + cross-triggers
-                for (don, doff), v in zip(d, valid):
-                    if v:
-                        continue
-                    fp_count[c] += 1
-                    dur = max(doff - don, 1e-9)
-                    for k in self.classes:
-                        if k == c:
-                            continue
-                        gk = gdf[gdf.event_label == k][["onset", "offset"]].values
-                        inter = sum(
-                            _intersection(don, doff, gon, goff) for gon, goff in gk
-                        )
-                        if inter / dur >= self.cttc:
-                            ctr[c][k] += 1.0
+                inv = ~valid
+                fp_count[c] += int(inv.sum())
+                if not inv.any():
+                    continue
+                # cross-triggers: invalid dets of class c vs other classes'
+                # ground truth in the same file (classes without GT here can
+                # only cross-trigger under a degenerate cttc <= 0)
+                ks = (
+                    [k for k in self.classes if k != c]
+                    if self.cttc <= 0
+                    else [k for k in gts if k != c]
+                )
+                don_i, doff_i, dur_i = d_on[inv], d_off[inv], dur[inv]
+                for k in ks:
+                    k_on, k_off = gts.get(k, (empty, empty))
+                    inter_k = _pair_intersections(
+                        don_i, doff_i, k_on, k_off
+                    ).sum(axis=1)
+                    ctr[c][k] += float((inter_k / dur_i >= self.cttc).sum())
         for c in self.classes:
             tpr[c] = tp_count[c] / nref[c] if nref[c] else 0.0
             fpr[c] = fp_count[c] / max(self.total_hours, 1e-9)
