@@ -45,20 +45,34 @@ def _intersection(a_on, a_off, b_on, b_off) -> float:
 
 
 def _by_file_class(df, classes=None) -> Dict:
-    """DataFrame -> {filename: {class: (onset[], offset[]) float arrays}}."""
+    """DataFrame -> {filename: {class: (onset[], offset[]) float arrays}}.
+
+    Factorize + lexsort + contiguous-run slicing: nested pandas groupbys
+    spend ~1 ms materializing each (file, class) sub-frame, which dominated
+    the PSDS sweep at 10k detections (12.5k sub-frames, 11 s of a 13 s
+    operating point).
+    """
+    import pandas as pd
+
     out: Dict = {}
     if df is None or not len(df):
         return out
-    for f, fdf in df.groupby("filename"):
-        d = {}
-        for c, cdf in fdf.groupby("event_label"):
-            if classes is not None and c not in classes:
-                continue  # detections outside the GT label set are ignored
-            d[c] = (
-                cdf.onset.values.astype(float),
-                cdf.offset.values.astype(float),
-            )
-        out[f] = d
+    files, file_keys = pd.factorize(df.filename.values)
+    labels, label_keys = pd.factorize(df.event_label.values)  # NaN -> -1
+    on = df.onset.values.astype(float)
+    off = df.offset.values.astype(float)
+    order = np.lexsort((labels, files))
+    files, labels, on, off = files[order], labels[order], on[order], off[order]
+    change = np.nonzero((np.diff(files) != 0) | (np.diff(labels) != 0))[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(files)]))
+    for s, e in zip(starts, ends):
+        if labels[s] < 0:
+            continue  # NaN label (groupby drops these too)
+        c = label_keys[labels[s]]
+        if classes is not None and c not in classes:
+            continue  # detections outside the GT label set are ignored
+        out.setdefault(file_keys[files[s]], {})[c] = (on[s:e], off[s:e])
     return out
 
 
