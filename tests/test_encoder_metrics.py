@@ -214,3 +214,39 @@ def test_decode_strong_batch_matches_per_sample():
             for a, b in zip(sorted(got), sorted(ref)):
                 assert a[0] == b[0]
                 np.testing.assert_allclose(a[1:], b[1:], rtol=1e-6)
+
+
+def test_event_lists_by_file_matches_per_file_scan():
+    """The one-pass grouping must reproduce get_event_list_current_file
+    exactly, including the lone-NaN-row 'file with no events' marker."""
+    import pandas as pd
+
+    from sound_event_detection_transformer_tpu.metrics import (
+        _event_lists_by_file,
+        get_event_list_current_file,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(40):
+        f = f"f{i}.wav"
+        n = rng.randint(0, 4)
+        if n == 0:
+            rows.append((f, np.nan, np.nan, np.nan))  # no-events marker row
+        for _ in range(n):
+            o = rng.uniform(0, 8)
+            rows.append((f, o, o + rng.uniform(0.2, 2), f"c{rng.randint(3)}"))
+    df = pd.DataFrame(rows, columns=["filename", "onset", "offset", "event_label"])
+
+    grouped = _event_lists_by_file(df)
+    for f in df.filename.unique():
+        slow = get_event_list_current_file(df, f)
+        fast = grouped.get(f, [])
+
+        def key(recs):
+            return sorted(
+                tuple(sorted((k, str(v)) for k, v in r.items())) for r in recs
+            )
+
+        assert key(fast) == key(slow), f
+    assert _event_lists_by_file(df.iloc[0:0]) == {}
