@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
+from functools import lru_cache
 from typing import Dict, Optional
 
 import numpy as np
@@ -64,13 +65,29 @@ def read_audio(path: str, target_fs: Optional[int] = None):
     return audio, fs
 
 
+@lru_cache(maxsize=8)
+def _stft_constants(sample_rate, n_fft, n_window, n_mels):
+    """Padded float32 window + transposed mel weights, cached per config."""
+    window = frontend.hamming_window(n_window)
+    if n_window < n_fft:
+        lp = (n_fft - n_window) // 2
+        window = np.pad(window, (lp, n_fft - n_window - lp))
+    mel_wt = frontend.mel_filterbank(sample_rate, n_fft, n_mels).T
+    return window.astype(np.float32), np.ascontiguousarray(mel_wt, np.float32)
+
+
 def logmel_numpy(y: np.ndarray, fc: FeatureConfig) -> np.ndarray:
     """Host (numpy) mirror of ``ops.frontend.waveform_to_logmel``:
-    [samples] -> [n_frames, n_mels] float32 (SedData.py:195-217)."""
-    window = frontend.hamming_window(fc.n_window)
-    if fc.n_window < fc.n_fft:
-        lp = (fc.n_fft - fc.n_window) // 2
-        window = np.pad(window, (lp, fc.n_fft - fc.n_window - lp))
+    [samples] -> [n_frames, n_mels] float32 (SedData.py:195-217).
+
+    float32 end to end: scipy's rfft keeps single precision (numpy's always
+    upcasts to float64), which roughly halves extraction time per clip.
+    """
+    from scipy.fft import rfft
+
+    window, mel_wt = _stft_constants(
+        fc.sample_rate, fc.n_fft, fc.n_window, fc.n_mels
+    )
     pad = fc.n_fft // 2
     yp = np.pad(np.asarray(y, np.float32), (pad, pad), mode="reflect")
     n_frames = 1 + (len(yp) - fc.n_fft) // fc.hop_size
@@ -78,9 +95,8 @@ def logmel_numpy(y: np.ndarray, fc: FeatureConfig) -> np.ndarray:
         np.arange(n_frames)[:, None] * fc.hop_size + np.arange(fc.n_fft)[None, :]
     )
     frames = yp[idx] * window[None, :]
-    mag = np.abs(np.fft.rfft(frames, n=fc.n_fft, axis=-1)).astype(np.float32)
-    mel_w = frontend.mel_filterbank(fc.sample_rate, fc.n_fft, fc.n_mels)
-    mel = mag @ mel_w.T
+    mag = np.abs(rfft(frames, n=fc.n_fft, axis=-1))
+    mel = mag @ mel_wt
     if fc.compute_log:
         log_spec = 20.0 * np.log10(np.maximum(1e-5, mel))
         mel = np.maximum(log_spec, log_spec.max() - 80.0)
