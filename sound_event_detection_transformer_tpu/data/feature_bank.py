@@ -18,9 +18,15 @@ data/transforms.py:121-143) is deterministic and never reads the labels;
 all stochastic augmentation already runs on device (ops/augment.py,
 ops/patches.py).
 
-Single-host only: with multiple processes each host would need the full
-bank; the multi-host path keeps the ``batch_iterator(host_slice=...)``
-stream instead.
+Two device layouts: replicated (default — local gather, capacity = one
+chip's HBM) and sharded over the mesh's data axis (``shard=True`` — each
+chip holds 1/d of the clips and one ``psum_scatter`` per step assembles the
+batch already batch-sharded; capacity scales with the mesh).  ``maybe_bank``
+picks automatically: replicated if it fits, else sharded, else host stream.
+
+Single-host only: with multiple processes each host would need device
+handles it doesn't own; the multi-host path keeps the
+``batch_iterator(host_slice=...)`` stream instead.
 """
 from __future__ import annotations
 
@@ -33,21 +39,67 @@ def _take0(bank, idx):
     return bank[idx]
 
 
+def _make_sharded_gather(mesh, shard_size: int, axis: str):
+    """Shard-local gather + reduce-scatter over the ``data`` axis.
+
+    The bank lives SPLIT over the mesh's data axis (each device holds a
+    contiguous ``shard_size``-clip slice), so dataset capacity scales with
+    the number of chips instead of being capped at one chip's HBM.  Each
+    device gathers the batch rows it owns (others contribute zeros) and a
+    single ``psum_scatter`` assembles the batch already sharded over
+    ``data`` — exactly one [B/d, T, F, 1] tile of collective traffic per
+    device per step, and the indices stay fully arbitrary (no sampler
+    constraints).  This is the scaling-book recipe: pick shardings, let the
+    collective do the assembly.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def _take(bank, idx):
+        k = jax.lax.axis_index(axis)
+        local = idx.astype(jnp.int32) - k * shard_size
+        inshard = (local >= 0) & (local < shard_size)
+        rows = bank[jnp.clip(local, 0, shard_size - 1)]
+        mask = inshard.reshape((-1,) + (1,) * (rows.ndim - 1))
+        rows = jnp.where(mask, rows, 0)
+        return jax.lax.psum_scatter(rows, axis, scatter_dimension=0, tiled=True)
+
+    return jax.jit(
+        shard_map(
+            _take, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(axis)
+        )
+    )
+
+
 class FeatureBank:
     """Stack ``dataset.features_only(i)`` for all clips and hold it in HBM.
 
     ``gather(idx)`` returns the ``[B, T, F, 1]`` float32 feature batch as a
     device array (batch-sharded over the mesh's data axis when a mesh is
-    given; the bank itself is replicated).  The gather is a separate tiny
-    jit — one HBM copy of the batch (~30 us) instead of a host transfer.
-    CLAUDE.md gotcha honored: the index array is a traced argument, never a
-    closure constant, so XLA cannot constant-fold the gather.
+    given).  The gather is a separate tiny jit — one HBM copy of the batch
+    (~30 us) instead of a host transfer.  CLAUDE.md gotcha honored: the
+    index array is a traced argument, never a closure constant, so XLA
+    cannot constant-fold the gather.
+
+    Two device layouts:
+
+    * ``shard=False`` (default): the bank replicates on every device and the
+      gather is purely local — fastest, capacity = one chip's HBM.
+    * ``shard=True`` (needs a mesh): the bank splits over the ``data`` axis
+      (rows padded to a multiple of the axis size; the padded tail is never
+      indexed) and batches assemble via one reduce-scatter — capacity
+      scales with the mesh's data-axis size.  ``gather`` then requires
+      ``len(idx)`` divisible by that axis size (already true for any
+      batch that shards over ``data``).
     """
 
-    def __init__(self, dataset, mesh=None, log=None):
+    def __init__(self, dataset, mesh=None, log=None, shard: bool = False):
         import jax
 
         assert jax.process_count() == 1, "FeatureBank is single-host only"
+        assert not shard or mesh is not None, "sharded bank needs a mesh"
         feats = []
         self.raw_frames: list = []
         for i in range(len(dataset)):
@@ -57,20 +109,32 @@ class FeatureBank:
         arr = np.stack(feats)[..., None]
         self.shape = arr.shape
         self.nbytes = arr.nbytes
-        out_shardings = None
-        if mesh is not None:
+        self.sharded = bool(shard)
+        if shard:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            d = mesh.shape[axis]
+            pad = (-arr.shape[0]) % d
+            if pad:  # repeat head rows; indices never reach the padding
+                arr = np.concatenate([arr, arr[:pad]])
+            self.shard_size = arr.shape[0] // d
+            self._bank = jax.device_put(arr, NamedSharding(mesh, P(axis)))
+            self._gather = _make_sharded_gather(mesh, self.shard_size, axis)
+        elif mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated
 
             self._bank = jax.device_put(arr, replicated(mesh))
-            out_shardings = batch_sharding(mesh)
+            self._gather = jax.jit(_take0, out_shardings=batch_sharding(mesh))
         else:
             self._bank = jax.device_put(arr)
+            self._gather = jax.jit(_take0)
         del arr
-        self._gather = jax.jit(_take0, out_shardings=out_shardings)
         if log is not None:
+            layout = "sharded over data axis" if shard else "in HBM"
             log.info(
                 f"device-resident feature bank: {self.shape} "
-                f"({self.nbytes / 1e9:.2f} GB) in HBM"
+                f"({self.nbytes / 1e9:.2f} GB) {layout}"
             )
 
     def __len__(self) -> int:
@@ -83,17 +147,27 @@ class FeatureBank:
 
 def maybe_bank(args, dataset, cfg, mesh=None, log=None,
                budget_bytes: float = 8e9) -> Optional[FeatureBank]:
-    """Build a FeatureBank when enabled, single-host, and it fits in HBM."""
+    """Build a FeatureBank when enabled, single-host, and it fits in HBM.
+
+    Preference order: replicated (local gather, fastest) when one chip can
+    hold the whole dataset; sharded over the mesh's data axis (capacity x
+    the axis size, one reduce-scatter per gather) when only a shard fits;
+    otherwise fall back to the host batch stream.
+    """
     import jax
 
     if not getattr(args, "device_data", True) or jax.process_count() > 1:
         return None
     est = len(dataset) * cfg.model.max_frames * cfg.model.n_mels * 4
-    if est > budget_bytes:
-        if log is not None:
-            log.info(
-                f"feature bank would need {est / 1e9:.1f} GB; "
-                "keeping the host batch stream"
-            )
-        return None
-    return FeatureBank(dataset, mesh=mesh, log=log)
+    if est <= budget_bytes:
+        return FeatureBank(dataset, mesh=mesh, log=log)
+    n_data = mesh.shape[mesh.axis_names[0]] if mesh is not None else 1
+    if mesh is not None and est / n_data <= budget_bytes:
+        return FeatureBank(dataset, mesh=mesh, log=log, shard=True)
+    if log is not None:
+        log.info(
+            f"feature bank would need {est / 1e9:.1f} GB"
+            + (f" ({est / n_data / 1e9:.1f} GB/shard)" if mesh is not None else "")
+            + "; keeping the host batch stream"
+        )
+    return None

@@ -137,3 +137,49 @@ def test_bank_gather_on_mesh():
     np.random.seed(0)
     host = collate([ds[j] for j in idx], max_events=4, seconds=10.0)
     np.testing.assert_array_equal(np.asarray(got), host.feats)
+
+
+def test_sharded_bank_gather_matches_host():
+    """shard=True: bank split over the data axis, batches assembled by one
+    reduce-scatter — same rows as host collate, still batch-sharded."""
+    from sound_event_detection_transformer_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() == 8
+    mesh = make_mesh(C.MeshConfig())
+    n_data = mesh.shape[mesh.axis_names[0]]
+    ds = _smoke_dataset(n=14)  # not a multiple of the axis -> padded tail
+    bank = FeatureBank(ds, mesh=mesh, shard=True)
+    assert bank.sharded and bank.shard_size * n_data >= 14
+    idx = [3, 3, 13, 0, 7, 12, 5, 1]  # arbitrary order + duplicates
+    got = bank.gather(idx)
+    assert got.sharding.spec[0] == mesh.axis_names[0]
+    np.random.seed(0)
+    host = collate([ds[j] for j in idx], max_events=4, seconds=10.0)
+    np.testing.assert_array_equal(np.asarray(got), host.feats)
+
+
+def test_maybe_bank_prefers_replicated_then_sharded_then_host():
+    import argparse
+
+    from sound_event_detection_transformer_tpu.data.feature_bank import (
+        maybe_bank,
+    )
+    from sound_event_detection_transformer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(C.MeshConfig())
+    n_data = mesh.shape[mesh.axis_names[0]]
+    ds = _smoke_dataset(n=8)
+    args = argparse.Namespace(device_data=True)
+    cfg = C.SEDTConfig(
+        model=C.ModelConfig(max_frames=64, n_mels=16, num_classes=1),
+        data=C.DataConfig(classes=["event"]),
+    )
+    est = len(ds) * 64 * 16 * 4
+    fits_all = maybe_bank(args, ds, cfg, mesh=mesh, budget_bytes=est)
+    assert fits_all is not None and not fits_all.sharded
+    fits_shard = maybe_bank(args, ds, cfg, mesh=mesh, budget_bytes=est / n_data)
+    assert fits_shard is not None and fits_shard.sharded
+    assert maybe_bank(args, ds, cfg, mesh=mesh,
+                      budget_bytes=est / n_data - 1) is None
+    # without a mesh there is no sharded fallback
+    assert maybe_bank(args, ds, cfg, budget_bytes=est / n_data) is None
