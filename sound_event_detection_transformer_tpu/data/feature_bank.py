@@ -159,7 +159,8 @@ def maybe_bank(args, dataset, cfg, mesh=None, log=None,
     if not getattr(args, "device_data", True) or jax.process_count() > 1:
         return None
     est = len(dataset) * cfg.model.max_frames * cfg.model.n_mels * 4
-    if est <= budget_bytes:
+    force_shard = getattr(args, "shard_bank", False) and mesh is not None
+    if est <= budget_bytes and not force_shard:
         return FeatureBank(dataset, mesh=mesh, log=log)
     n_data = mesh.shape[mesh.axis_names[0]] if mesh is not None else 1
     if mesh is not None and est / n_data <= budget_bytes:

@@ -135,6 +135,11 @@ def get_parser() -> argparse.ArgumentParser:
                         "supervised/semi/SP-SEDT trainers when the bank fits")
     p.add_argument("--no_device_data", dest="device_data",
                    action="store_false")
+    p.add_argument("--shard_bank", action="store_true", default=False,
+                   help="force the FeatureBank to shard over the mesh's data "
+                        "axis even when it would fit replicated (the layout "
+                        "maybe_bank only picks when a single chip can't hold "
+                        "the dataset)")
     # loss
     p.add_argument("--no_aux_loss", dest="aux_loss", action="store_false")
     p.add_argument("--set_cost_class", default=1, type=float)

@@ -183,3 +183,25 @@ def test_maybe_bank_prefers_replicated_then_sharded_then_host():
                       budget_bytes=est / n_data - 1) is None
     # without a mesh there is no sharded fallback
     assert maybe_bank(args, ds, cfg, budget_bytes=est / n_data) is None
+
+
+def test_shard_bank_flag_forces_sharded_layout():
+    import argparse
+
+    from sound_event_detection_transformer_tpu.data.feature_bank import (
+        maybe_bank,
+    )
+    from sound_event_detection_transformer_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(C.MeshConfig())
+    ds = _smoke_dataset(n=8)
+    cfg = C.SEDTConfig(
+        model=C.ModelConfig(max_frames=64, n_mels=16, num_classes=1),
+        data=C.DataConfig(classes=["event"]),
+    )
+    args = argparse.Namespace(device_data=True, shard_bank=True)
+    bank = maybe_bank(args, ds, cfg, mesh=mesh, budget_bytes=1e12)
+    assert bank is not None and bank.sharded
+    # without a mesh the flag is inert, not an error
+    bank = maybe_bank(args, ds, cfg, budget_bytes=1e12)
+    assert bank is not None and not bank.sharded
