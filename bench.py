@@ -23,7 +23,35 @@ denominator.  The driver's north star is >= 5x.
 from __future__ import annotations
 
 import json
+import os
+import socket
+import sys
 import time
+
+
+def _fail_fast_if_tunnel_dead() -> None:
+    """The axon device relay occasionally dies (CLAUDE.md): jax then blocks
+    forever retrying the connection.  Probe the relay port first so a dead
+    tunnel is a fast, explicit error instead of a silent hang."""
+    if os.environ.get("JAX_PLATFORMS") != "axon":
+        return
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    s = socket.socket()
+    s.settimeout(2.0)
+    try:
+        s.connect(("127.0.0.1", 8082))
+    except OSError:
+        sys.stderr.write(
+            "bench.py: axon relay port 8082 refused — the TPU tunnel is "
+            "down; no benchmark possible\n"
+        )
+        raise SystemExit(3)
+    finally:
+        s.close()
+
+
+_fail_fast_if_tunnel_dead()
 
 import jax
 import jax.numpy as jnp
