@@ -23,6 +23,17 @@ from typing import Dict, Sequence
 import numpy as np
 
 
+def _group_by_class(event_list) -> Dict:
+    """{class: [(onset, offset), ...]} in one pass (label-less rows skipped)."""
+    out: Dict = {}
+    for e in event_list:
+        lbl = e.get("event_label")
+        if lbl is None or lbl != lbl:  # None or NaN
+            continue
+        out.setdefault(lbl, []).append((e["onset"], e["offset"]))
+    return out
+
+
 def _match_events(
     ref: np.ndarray,  # [Nr, 2] (onset, offset)
     est: np.ndarray,  # [Ns, 2]
@@ -66,24 +77,19 @@ class EventBasedMetrics:
 
     def evaluate(self, reference_event_list, estimated_event_list) -> None:
         """Consume one file's (list-of-dict) events, sed_eval-style records:
-        {'event_label', 'onset', 'offset'} (label-less rows are empty files)."""
-        for cls in self.classes:
-            ref = np.array(
-                [
-                    (e["onset"], e["offset"])
-                    for e in reference_event_list
-                    if e.get("event_label") == cls
-                ],
-                dtype=np.float64,
-            ).reshape(-1, 2)
-            est = np.array(
-                [
-                    (e["onset"], e["offset"])
-                    for e in estimated_event_list
-                    if e.get("event_label") == cls
-                ],
-                dtype=np.float64,
-            ).reshape(-1, 2)
+        {'event_label', 'onset', 'offset'} (label-less rows are empty files).
+
+        One grouping pass per file; classes with neither reference nor
+        estimated events contribute nothing (the all-classes scan cost
+        files x classes x events at eval scale)."""
+        ref_by, est_by = _group_by_class(reference_event_list), _group_by_class(
+            estimated_event_list
+        )
+        for cls in set(ref_by) | set(est_by):
+            if cls not in self.stats:
+                continue  # labels outside the evaluated class list
+            ref = np.asarray(ref_by.get(cls, []), np.float64).reshape(-1, 2)
+            est = np.asarray(est_by.get(cls, []), np.float64).reshape(-1, 2)
             ntp = _match_events(ref, est, self.t_collar, self.percentage_of_length)
             s = self.stats[cls]
             s["Nref"] += len(ref)
@@ -147,13 +153,12 @@ class SegmentBasedMetrics:
         self.stats = {c: {"Nref": 0, "Nsys": 0, "Ntp": 0} for c in self.classes}
 
     def evaluate(self, reference_event_list, estimated_event_list) -> None:
-        def grid(events, cls, n_seg):
+        def grid(pairs, n_seg):
             g = np.zeros(n_seg, dtype=bool)
-            for e in events:
-                if e.get("event_label") == cls:
-                    lo = int(np.floor(e["onset"] / self.res))
-                    hi = int(np.ceil(e["offset"] / self.res))
-                    g[lo : max(hi, lo + 1)] = True
+            for on, off in pairs:
+                lo = int(np.floor(on / self.res))
+                hi = int(np.ceil(off / self.res))
+                g[lo : max(hi, lo + 1)] = True
             return g
 
         max_off = 0.0
@@ -161,9 +166,14 @@ class SegmentBasedMetrics:
             if "offset" in e:
                 max_off = max(max_off, float(e["offset"]))
         n_seg = max(int(np.ceil(max_off / self.res)), 1)
-        for cls in self.classes:
-            r = grid(reference_event_list, cls, n_seg)
-            s = grid(estimated_event_list, cls, n_seg)
+        ref_by, est_by = _group_by_class(reference_event_list), _group_by_class(
+            estimated_event_list
+        )
+        for cls in set(ref_by) | set(est_by):
+            if cls not in self.stats:
+                continue
+            r = grid(ref_by.get(cls, ()), n_seg)
+            s = grid(est_by.get(cls, ()), n_seg)
             st = self.stats[cls]
             st["Nref"] += int(r.sum())
             st["Nsys"] += int(s.sum())
