@@ -1490,9 +1490,11 @@ def run_audio_tag(args) -> float:
                 x, y = shard_batch_pytree((x, y), mesh)
             params, opt_state, loss = at_step(params, frozen, opt_state, x, y)
             acc.update({"loss": loss})
-        log.info(
-            f"Epoch {epoch}: loss {acc.means()[0].get('loss', float('nan')):.4f}"
-        )
+        at_loss = acc.means()[0].get("loss", float("nan"))
+        log.info(f"Epoch {epoch}: loss {at_loss:.4f}")
+        if acc.steps and not np.isfinite(at_loss):
+            log.info("Loss is not finite, stopping training")
+            raise SystemExit(1)
 
         # validation clip F1
         rows = []
