@@ -36,7 +36,9 @@ def main() -> None:
     parser.add_argument("--wav_dir", required=True)
     parser.add_argument("--out", default="predictions.tsv")
     parser.add_argument("--scaler", default="",
-                        help="scaler json from training (optional)")
+                        help="scaler json from training; defaults to the one "
+                             "the trainer saved at <exp_root>/<dataname>.json "
+                             "when present (pass 'none' to skip normalization)")
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--at_m", type=int, default=1)
     args = parser.parse_args()
@@ -46,8 +48,16 @@ def main() -> None:
     ck = load_checkpoint(args.checkpoint)
     params, frozen = ck["params"], ck.get("frozen", {})
 
+    # Default to the dataset scaler the trainer saved (train_lib.py:341):
+    # predicting without the training normalization silently degrades a
+    # trained checkpoint, so discovery is automatic and opt-out.
+    if not args.scaler:
+        cand = osp.join(cfg.data.exp_root, cfg.data.dataset_name + ".json")
+        if osp.isfile(cand):
+            args.scaler = cand
+            print(f"using training scaler {cand}")
     scaler_mean = scaler_std = None
-    if args.scaler:
+    if args.scaler and args.scaler != "none":
         sc = Scaler()
         sc.load(args.scaler)
         scaler_mean, scaler_std = sc.mean_, sc.std_
