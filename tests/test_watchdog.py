@@ -71,3 +71,25 @@ def test_restart_budget_exhausted(tmp_path):
     )
     assert r.returncode == 86
     assert "restart budget exhausted" in r.stdout
+
+
+def test_tunnel_wait_holds_then_proceeds(tmp_path):
+    """Under the axon platform with a dead relay port, the (re)start is held
+    until the cap, then proceeds; inert on other platforms."""
+    trainer = _fake_trainer(tmp_path, """
+        import sys
+        print("ran")
+        sys.exit(0)
+    """)
+    env = dict(os.environ, JAX_PLATFORMS="axon")
+    r = subprocess.run(
+        [sys.executable, WATCHDOG, "--log", str(tmp_path / "run.log"),
+         "--info", "t", "--model_dir", str(tmp_path),
+         "--stall_s", "5", "--poll_s", "0.2",
+         "--tunnel_port", "1", "--tunnel_wait_s", "1",
+         "--", sys.executable, trainer],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "relay still down" in r.stdout
+    assert "ran" in (tmp_path / "run.log").read_text()

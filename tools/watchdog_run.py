@@ -43,6 +43,35 @@ def child_cpu_ticks(pid: int) -> int | None:
         return None
 
 
+def wait_for_tunnel(port: int, cap_s: float, poll_s: float = 30.0) -> None:
+    """Block (up to ``cap_s``) until the axon device relay accepts.
+
+    Restarting a trainer against a dead relay just hangs at jax init and
+    burns the restart budget; when the tunnel itself is down (the relay
+    process can die — ports refuse), hold the restart until it returns.
+    Only active under the axon platform.
+    """
+    import socket
+
+    if os.environ.get("JAX_PLATFORMS") != "axon":
+        return
+    t0 = time.time()
+    while time.time() - t0 < cap_s:
+        s = socket.socket()
+        s.settimeout(2.0)
+        try:
+            s.connect(("127.0.0.1", port))
+            return
+        except OSError:
+            pass
+        finally:
+            s.close()
+        print(f"[watchdog] relay :{port} down, waiting", flush=True)
+        time.sleep(max(0.0, min(poll_s, cap_s - (time.time() - t0))))
+    print(f"[watchdog] relay still down after {cap_s:.0f}s, trying anyway",
+          flush=True)
+
+
 def newest_checkpoint(model_dir: str, info: str) -> str | None:
     """Name of the highest-epoch ``<info>_<epoch>`` periodic checkpoint."""
     pat = re.compile(re.escape(info) + r"_(\d+)$")
@@ -79,6 +108,10 @@ def main() -> int:
                     help="frozen log AND frozen CPU for this long = wedge")
     ap.add_argument("--poll_s", default=30.0, type=float)
     ap.add_argument("--max_restarts", default=3, type=int)
+    ap.add_argument("--tunnel_port", default=8082, type=int,
+                    help="axon relay port probed before each (re)start")
+    ap.add_argument("--tunnel_wait_s", default=7200.0, type=float,
+                    help="max time to hold a (re)start for a dead relay")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- then the trainer command")
     args = ap.parse_args()
@@ -88,6 +121,7 @@ def main() -> int:
 
     restarts = 0
     while True:
+        wait_for_tunnel(args.tunnel_port, args.tunnel_wait_s)
         logf = open(args.log, "ab", buffering=0)
         # own process group so a wedged child's helper threads die with it
         child = subprocess.Popen(cmd, stdout=logf, stderr=logf,
