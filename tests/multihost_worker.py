@@ -1,0 +1,94 @@
+"""Worker for the true multi-process SPMD test (NOT a pytest module).
+
+Launched by tests/test_multihost.py as N cooperating processes, each with 2
+virtual CPU devices: initializes ``jax.distributed`` (Gloo over localhost),
+builds the repo's mesh, and runs ONE supervised train step where every
+process contributes only its contiguous per-host slice of the global batch
+through ``shard_batch_pytree`` — the reference's DistributedSampler + DDP
+flow done the SPMD way (SURVEY.md §2.2).  Prints ``LOSS=<v>`` on success;
+the parent asserts both processes print the identical finite value.
+"""
+import os
+import sys
+
+port, pid, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+).strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.distributed.initialize(
+    f"localhost:{port}", num_processes=nprocs, process_id=pid
+)
+assert jax.process_count() == nprocs, jax.process_count()
+
+import numpy as np
+import jax.numpy as jnp
+
+from sound_event_detection_transformer_tpu import config as C
+from sound_event_detection_transformer_tpu.engine import (
+    Batch, TrainState, make_train_step,
+)
+from sound_event_detection_transformer_tpu.models import build_model, empty_targets
+from sound_event_detection_transformer_tpu.parallel.mesh import (
+    make_mesh, replicated, shard_batch_pytree,
+)
+from sound_event_detection_transformer_tpu.parallel.optim import make_optimizer
+
+feats = C.FeatureConfig.urbansed()
+cfg = C.SEDTConfig(
+    features=feats,
+    model=C.ModelConfig(
+        backbone="resnet18", enc_layers=1, dec_layers=1, num_queries=5,
+        num_classes=10, dec_at=True, max_frames=64, n_mels=feats.n_mels,
+    ),
+    data=C.DataConfig(dataset_name="urbansed", classes=C.URBAN_CLASSES,
+                      batch_size=4),
+)
+model, wd = build_model(cfg)
+mesh = make_mesh(C.MeshConfig(n_model=1))
+assert mesh.shape["data"] == 2 * nprocs, dict(mesh.shape)
+
+B, T, F = cfg.data.batch_size, cfg.model.max_frames, cfg.model.n_mels
+rng = jax.random.PRNGKey(0)  # same seed everywhere -> identical init
+variables = model.init(
+    {"params": rng, "dropout": rng},
+    jnp.zeros((1, T, F, 1)), jnp.zeros((1, T), bool), True,
+)
+put_rep = lambda tree: jax.device_put(
+    tree, jax.tree.map(lambda _: replicated(mesh), tree)
+)
+params = put_rep(variables["params"])
+frozen = put_rep(variables.get("frozen", {}))
+tx = make_optimizer(params, cfg.train, steps_per_epoch=10)
+opt_state = put_rep(tx.init(params))
+state = TrainState(params, frozen, opt_state, jnp.asarray(0))
+
+# deterministic GLOBAL batch; each process keeps only its contiguous slice
+tgts = empty_targets(B, cfg.model.max_events, cfg.features.max_len_seconds)
+tgts = tgts._replace(
+    labels=tgts.labels.at[:, 0].set(1),
+    boxes=tgts.boxes.at[:, 0].set(jnp.array([0.5, 0.2])),
+    box_valid=tgts.box_valid.at[:, 0].set(True),
+    label_valid=tgts.label_valid.at[:, 0].set(True),
+)
+feats_global = np.random.RandomState(0).randn(B, T, F, 1).astype(np.float32)
+lo, hi = pid * B // nprocs, (pid + 1) * B // nprocs
+local = Batch(
+    feats=feats_global[lo:hi],
+    pad_mask=np.zeros((hi - lo, T), bool),
+    targets=jax.tree.map(lambda x: np.asarray(x)[lo:hi], tgts),
+    strong=np.ones((hi - lo,), bool),
+    weak=np.zeros((hi - lo,), bool),
+)
+batch = shard_batch_pytree(local, mesh)  # make_array_from_process_local_data
+
+step = make_train_step(model, wd, cfg, tx)
+with mesh:
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    loss = float(metrics["loss"])
+assert np.isfinite(loss), loss
+print(f"LOSS={loss:.6f}", flush=True)
