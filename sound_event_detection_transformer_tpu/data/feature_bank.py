@@ -24,9 +24,15 @@ chip holds 1/d of the clips and one ``psum_scatter`` per step assembles the
 batch already batch-sharded; capacity scales with the mesh).  ``maybe_bank``
 picks automatically: replicated if it fits, else sharded, else host stream.
 
-Single-host only: with multiple processes each host would need device
-handles it doesn't own; the multi-host path keeps the
-``batch_iterator(host_slice=...)`` stream instead.
+Multi-host: the sharded layout constructs via ``make_array_from_callback``,
+so each process loads and holds ONLY its addressable shards' clips (host RAM
+and HBM both scale 1/d) — proven by the 2-process test in
+tests/test_multihost.py.  The replicated layout stays single-host.
+``maybe_bank`` (the trainer wiring) still keeps the
+``batch_iterator(host_slice=...)`` stream under multiple processes: the
+trainers' target collation is per-host-slice while the sharded gather wants
+one seed-synchronized GLOBAL index batch per step — wiring that is future
+work.
 """
 from __future__ import annotations
 
@@ -98,38 +104,66 @@ class FeatureBank:
     def __init__(self, dataset, mesh=None, log=None, shard: bool = False):
         import jax
 
-        assert jax.process_count() == 1, "FeatureBank is single-host only"
+        assert shard or jax.process_count() == 1, (
+            "the replicated bank is single-host; multi-process needs shard=True"
+        )
         assert not shard or mesh is not None, "sharded bank needs a mesh"
-        feats = []
-        self.raw_frames: list = []
-        for i in range(len(dataset)):
-            d, t_raw = dataset.features_only(i)
-            feats.append(np.asarray(d, np.float32))
-            self.raw_frames.append(int(t_raw))
-        arr = np.stack(feats)[..., None]
-        self.shape = arr.shape
-        self.nbytes = arr.nbytes
         self.sharded = bool(shard)
+        self.raw_frames: dict = {}
+        n_real = len(dataset)
         if shard:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             axis = mesh.axis_names[0]
             d = mesh.shape[axis]
-            pad = (-arr.shape[0]) % d
-            if pad:  # repeat head rows; indices never reach the padding
-                arr = np.concatenate([arr, arr[:pad]])
-            self.shard_size = arr.shape[0] // d
-            self._bank = jax.device_put(arr, NamedSharding(mesh, P(axis)))
-            self._gather = _make_sharded_gather(mesh, self.shard_size, axis)
-        elif mesh is not None:
-            from ..parallel.mesh import batch_sharding, replicated
+            n_pad = -(-n_real // d) * d
+            sample0 = np.asarray(dataset.features_only(0)[0], np.float32)
+            self.shape = (n_real, *sample0.shape, 1)
+            self.nbytes = n_real * sample0.nbytes * 1  # trailing channel dim
+            self.shard_size = n_pad // d
+            cache: dict = {}
 
-            self._bank = jax.device_put(arr, replicated(mesh))
-            self._gather = jax.jit(_take0, out_shardings=batch_sharding(mesh))
+            def load(i: int) -> np.ndarray:
+                i = i % n_real  # padded tail wraps to the head; never indexed
+                if i not in cache:
+                    feat, t_raw = dataset.features_only(i)
+                    cache[i] = np.asarray(feat, np.float32)[..., None]
+                    self.raw_frames[i] = int(t_raw)
+                return cache[i]
+
+            def shard_rows(index):
+                sl = index[0]
+                return np.stack([load(i) for i in range(sl.start, sl.stop)])
+
+            # each process materializes ONLY its addressable shards' rows —
+            # this is what makes the bank multi-host capable (and keeps host
+            # RAM at 1/d of the dataset)
+            self._bank = jax.make_array_from_callback(
+                (n_pad, *self.shape[1:]), NamedSharding(mesh, P(axis)),
+                shard_rows,
+            )
+            cache.clear()
+            self._gather = _make_sharded_gather(mesh, self.shard_size, axis)
         else:
-            self._bank = jax.device_put(arr)
-            self._gather = jax.jit(_take0)
-        del arr
+            feats = []
+            for i in range(n_real):
+                feat, t_raw = dataset.features_only(i)
+                feats.append(np.asarray(feat, np.float32))
+                self.raw_frames[i] = int(t_raw)
+            arr = np.stack(feats)[..., None]
+            self.shape = arr.shape
+            self.nbytes = arr.nbytes
+            if mesh is not None:
+                from ..parallel.mesh import batch_sharding, replicated
+
+                self._bank = jax.device_put(arr, replicated(mesh))
+                self._gather = jax.jit(
+                    _take0, out_shardings=batch_sharding(mesh)
+                )
+            else:
+                self._bank = jax.device_put(arr)
+                self._gather = jax.jit(_take0)
+            del arr
         if log is not None:
             layout = "sharded over data axis" if shard else "in HBM"
             log.info(

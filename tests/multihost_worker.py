@@ -91,4 +91,29 @@ with mesh:
     _, metrics = step(state, batch, jax.random.PRNGKey(1))
     loss = float(metrics["loss"])
 assert np.isfinite(loss), loss
+
+# Sharded FeatureBank across processes: each host loads only its shard's
+# clips; the gather's psum_scatter assembles a batch every process can
+# verify through its addressable output shards.
+from sound_event_detection_transformer_tpu.data.encoder import BoxEncoder
+from sound_event_detection_transformer_tpu.data.feature_bank import FeatureBank
+from sound_event_detection_transformer_tpu.data.synthetic import SyntheticDataset
+
+enc = BoxEncoder(len(cfg.data.classes), seconds=cfg.features.max_len_seconds)
+ds = SyntheticDataset(
+    9, list(cfg.data.classes), T, F, enc.encode_strong_df, max_events=2, seed=0
+)
+bank = FeatureBank(ds, mesh=mesh, shard=True)
+# only local rows were loaded on this host
+assert 0 < len(bank.raw_frames) < len(ds), sorted(bank.raw_frames)
+idx = np.array([8, 3, 0, 5], np.int32)  # same global batch on every host
+got = bank.gather(idx)
+want = {
+    j: np.asarray(ds.features_only(int(i))[0], np.float32)[..., None]
+    for j, i in enumerate(idx)
+}
+for s in got.addressable_shards:
+    rows = range(s.index[0].start or 0, s.index[0].stop or len(idx))
+    for off, j in enumerate(rows):
+        np.testing.assert_array_equal(np.asarray(s.data)[off], want[j])
 print(f"LOSS={loss:.6f}", flush=True)
