@@ -347,7 +347,10 @@ def batch_iterator(
     with ``feats=None`` and ``indexes`` always populated; the consumer fills
     feats on device via ``bank.gather(np.maximum(batch.indexes, 0))`` (after
     any ``shard_batch_pytree``), so no spectrogram ever crosses the host
-    boundary.  Single-host only.
+    boundary.  Under multiple processes the bank must be data-axis-sharded;
+    ``indexes`` then carries the full GLOBAL batch (identical on every host,
+    feeding the cross-process gather) while targets/flags stay per-host
+    slices.
 
     ``pad_last``: repeat the final sample to keep the last batch full-sized
     (avoids a second jit compilation for the ragged tail; padded rows carry
@@ -365,7 +368,9 @@ def batch_iterator(
 
         if jax.process_count() > 1:
             host_slice = (jax.process_index(), jax.process_count())
-    assert bank is None or not host_slice, "FeatureBank is single-host only"
+    assert bank is None or not host_slice or bank.sharded, (
+        "multi-host banking needs the data-axis-sharded FeatureBank"
+    )
 
     def slice_for_host(idxs):
         if not host_slice:
@@ -403,6 +408,7 @@ def batch_iterator(
                 return -1
 
         for bi, idxs in enumerate(index_batches):
+            global_idxs = list(idxs)
             if not return_indexes:
                 # eval (return_indexes) stays full-batch on every host; only
                 # training batches shard across hosts
@@ -426,12 +432,17 @@ def batch_iterator(
                 if uflags is not None:
                     strong = strong & ~uflags
                     weak = weak & ~uflags
+                # ``indexes`` stays GLOBAL under host_slice: every host passes
+                # the identical full batch to the sharded bank's gather, while
+                # targets/flags above are the host's slice (assembled by
+                # shard_batch_pytree like every other leaf)
                 b = Batch(
                     feats=None,
                     pad_mask=np.zeros((len(idxs), bank.shape[1]), bool),
                     targets=targets, strong=strong, weak=weak,
                     indexes=np.asarray(
-                        out_idxs if out_idxs is not None else idxs, np.int32
+                        out_idxs if out_idxs is not None else global_idxs,
+                        np.int32,
                     ),
                 )
             else:

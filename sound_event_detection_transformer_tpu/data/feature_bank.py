@@ -26,13 +26,13 @@ picks automatically: replicated if it fits, else sharded, else host stream.
 
 Multi-host: the sharded layout constructs via ``make_array_from_callback``,
 so each process loads and holds ONLY its addressable shards' clips (host RAM
-and HBM both scale 1/d) — proven by the 2-process test in
-tests/test_multihost.py.  The replicated layout stays single-host.
-``maybe_bank`` (the trainer wiring) still keeps the
-``batch_iterator(host_slice=...)`` stream under multiple processes: the
-trainers' target collation is per-host-slice while the sharded gather wants
-one seed-synchronized GLOBAL index batch per step — wiring that is future
-work.
+and HBM both scale 1/d); raw frame counts allgather once so any host can
+build targets for any clip.  ``batch_iterator(bank=...)`` then emits GLOBAL
+index batches (identical on every host — the samplers are seed-synchronized)
+next to per-host target slices, and ``maybe_bank`` selects the sharded
+layout whenever processes > 1 and a mesh exists.  Proven end to end by the
+2-process SPMD test (tests/test_multihost.py).  The replicated layout stays
+single-host.
 """
 from __future__ import annotations
 
@@ -144,6 +144,20 @@ class FeatureBank:
             )
             cache.clear()
             self._gather = _make_sharded_gather(mesh, self.shard_size, axis)
+            if jax.process_count() > 1:
+                # targets are built host-side for arbitrary batch slices, so
+                # every host needs every clip's pre-pad frame count — merge
+                # the per-shard raw_frames across processes (max: data-shard
+                # replicas along the model axis hold identical values)
+                from jax.experimental import multihost_utils
+
+                local = np.zeros(n_real, np.int32)
+                for i, t in self.raw_frames.items():
+                    local[i] = t
+                merged = np.maximum.reduce(
+                    np.asarray(multihost_utils.process_allgather(local))
+                )
+                self.raw_frames = {i: int(v) for i, v in enumerate(merged)}
         else:
             feats = []
             for i in range(n_real):
@@ -190,11 +204,12 @@ def maybe_bank(args, dataset, cfg, mesh=None, log=None,
     """
     import jax
 
-    if not getattr(args, "device_data", True) or jax.process_count() > 1:
+    multi = jax.process_count() > 1
+    if not getattr(args, "device_data", True) or (multi and mesh is None):
         return None
     est = len(dataset) * cfg.model.max_frames * cfg.model.n_mels * 4
-    force_shard = getattr(args, "shard_bank", False) and mesh is not None
-    if est <= budget_bytes and not force_shard:
+    force_shard = (getattr(args, "shard_bank", False) and mesh is not None)
+    if est <= budget_bytes and not force_shard and not multi:
         return FeatureBank(dataset, mesh=mesh, log=log)
     n_data = mesh.shape[mesh.axis_names[0]] if mesh is not None else 1
     if mesh is not None and est / n_data <= budget_bytes:

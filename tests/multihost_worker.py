@@ -88,7 +88,7 @@ batch = shard_batch_pytree(local, mesh)  # make_array_from_process_local_data
 
 step = make_train_step(model, wd, cfg, tx)
 with mesh:
-    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
     loss = float(metrics["loss"])
 assert np.isfinite(loss), loss
 
@@ -104,8 +104,9 @@ ds = SyntheticDataset(
     9, list(cfg.data.classes), T, F, enc.encode_strong_df, max_events=2, seed=0
 )
 bank = FeatureBank(ds, mesh=mesh, shard=True)
-# only local rows were loaded on this host
-assert 0 < len(bank.raw_frames) < len(ds), sorted(bank.raw_frames)
+# raw frame counts allgathered: complete on every host (features stay 1/d)
+assert len(bank.raw_frames) == len(ds), sorted(bank.raw_frames)
+assert all(v > 0 for v in bank.raw_frames.values())
 idx = np.array([8, 3, 0, 5], np.int32)  # same global batch on every host
 got = bank.gather(idx)
 want = {
@@ -116,4 +117,28 @@ for s in got.addressable_shards:
     rows = range(s.index[0].start or 0, s.index[0].stop or len(idx))
     for off, j in enumerate(rows):
         np.testing.assert_array_equal(np.asarray(s.data)[off], want[j])
+
+# Full multi-host bank training path: batch_iterator emits GLOBAL index
+# batches + per-host target slices; allgathered raw_frames let any host
+# build targets for any clip; two real train steps must agree everywhere.
+from sound_event_detection_transformer_tpu.data.dataset import batch_iterator
+
+ds2 = SyntheticDataset(
+    8, list(cfg.data.classes), T, F, enc.encode_strong_df, max_events=2, seed=1
+)
+bank2 = FeatureBank(ds2, mesh=mesh, shard=True)
+assert len(bank2.raw_frames) == len(ds2), sorted(bank2.raw_frames)
+loop_losses = []
+for b in batch_iterator(ds2, B, cfg.model.max_events,
+                        cfg.features.max_len_seconds,
+                        prefetch=False, to_device=False, bank=bank2):
+    assert len(b.indexes) == B and len(b.strong) == B // nprocs
+    idx = b.indexes
+    b = shard_batch_pytree(b._replace(indexes=None), mesh)
+    b = b._replace(feats=bank2.gather(np.maximum(idx, 0)))
+    with mesh:
+        state, metrics = step(state, b, jax.random.PRNGKey(4))
+        loop_losses.append(float(metrics["loss"]))
+assert all(np.isfinite(l) for l in loop_losses), loop_losses
+print(f"BANKLOSS={loop_losses[-1]:.6f}", flush=True)
 print(f"LOSS={loss:.6f}", flush=True)

@@ -36,12 +36,13 @@ def test_two_process_train_step():
         out, _ = p.communicate(timeout=600)
         outs.append(out)
         assert p.returncode == 0, out[-3000:]
-    losses = [
-        line.split("=", 1)[1]
-        for out in outs
-        for line in out.splitlines()
-        if line.startswith("LOSS=")
-    ]
-    assert len(losses) == 2, outs
-    assert losses[0] == losses[1], losses  # SPMD: same global step everywhere
-    assert float(losses[0]) == float(losses[0])  # finite
+    for tag in ("LOSS=", "BANKLOSS="):
+        vals = [
+            line.split("=", 1)[1]
+            for out in outs
+            for line in out.splitlines()
+            if line.startswith(tag)
+        ]
+        assert len(vals) == 2, (tag, outs)
+        assert vals[0] == vals[1], (tag, vals)  # SPMD: identical everywhere
+        assert float(vals[0]) == float(vals[0])  # finite
