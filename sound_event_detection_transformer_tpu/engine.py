@@ -366,18 +366,31 @@ def make_semi_train_step(
         def loss_fn(params_in):
             params = _swap_in_frozen(params_in, state.params, frozen_mask)
             variables = {"params": params, "frozen": state.frozen}
-            sup_out = model.apply(
-                variables, feats_l, pad_lab, False, rngs={"dropout": r_d1}
+            # One full-batch forward instead of two half-batch passes: the
+            # supervised (labeled view) and student (noisy unlabeled view)
+            # branches share params, so concatenating them fills the MXU at
+            # the step's full batch size (the reference runs them as two
+            # separate model calls, engine.py:127-160).  The two criterion
+            # calls stay separate — sup and unsup normalize by their OWN
+            # num_boxes, which a merged criterion would conflate.
+            n_l = feats_l.shape[0]
+            both_out = model.apply(
+                variables,
+                jnp.concatenate([feats_l, student_in], 0),
+                jnp.concatenate([pad_lab, pad_unl], 0),
+                False, rngs={"dropout": r_d1},
             )
+            # aux_* outputs stack decoder layers in front: batch is axis 1
+            sup_out = {k: (v[:, :n_l] if k.startswith("aux_") else v[:n_l])
+                       for k, v in both_out.items()}
+            st_out = {k: (v[:, n_l:] if k.startswith("aux_") else v[n_l:])
+                      for k, v in both_out.items()}
             sup_losses, _ = set_criterion(
                 sup_out, targets_l, strong_l, weak_l, cfg.model, cfg.loss,
                 fine_tune=fine_tune, normalize=normalize, fl=fl, rng=r_m1,
             )
             sup = total_loss(sup_losses, weight_dict)
 
-            st_out = model.apply(
-                variables, student_in, pad_unl, False, rngs={"dropout": r_d2}
-            )
             # unsup: every unlabeled sample is "strong" vs its pseudo boxes
             # (engine.py:159-160 passes slice(all))
             un_losses, _ = set_criterion(

@@ -135,6 +135,63 @@ def test_semi_train_step():
     assert np.abs(np.asarray(d0) - np.asarray(e0)).max() < 1.0
 
 
+def test_semi_merged_forward_parity():
+    """The semi step's single concatenated forward (labeled view + student
+    view in one model call) must produce the same loss as the reference
+    formulation of two separate half-batch forwards (ref engine.py:127-160).
+    Dropout 0 so the forward is deterministic."""
+    from sound_event_detection_transformer_tpu.engine import get_pseudo_labels
+    from sound_event_detection_transformer_tpu.models.criterion import (
+        set_criterion, total_loss,
+    )
+
+    cfg = SEDTConfig.tiny_test()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dropout=0.0)
+    )
+    model, wd, tx, state = _setup(cfg)
+    batch, _ = _synthetic_batch(cfg)
+    B, n_l = batch.feats.shape[0], 2
+    strong = jnp.asarray([True, True, False, False])
+    weak = jnp.zeros((B,), bool)
+    unlabel = jnp.asarray([False, False, True, True])
+    thr = jnp.full((cfg.model.num_classes,), 0.5)
+    ema = jax.tree.map(jnp.copy, state.params)
+    tfeats = jnp.asarray(batch.feats)
+    sfeats = tfeats + 0.01
+    pad = jnp.asarray(batch.pad_mask)
+    targets = jax.tree.map(jnp.asarray, batch.targets)
+
+    step = make_semi_train_step(model, wd, cfg, tx, n_labeled=n_l)
+    _, _, m, _ = step(
+        state, ema, tfeats, sfeats, pad, targets, strong, weak, unlabel,
+        thr, jax.random.PRNGKey(0), jnp.asarray(True),
+    )
+
+    # reference formulation: two separate half-batch forwards
+    variables = {"params": state.params, "frozen": state.frozen}
+    rng = jax.random.PRNGKey(0)
+    sup_out = model.apply(variables, tfeats[:n_l], pad[:n_l], False,
+                          rngs={"dropout": rng})
+    tea_out = model.apply({"params": ema, "frozen": state.frozen},
+                          tfeats[n_l:], pad[n_l:], True)
+    pseudo, _ = get_pseudo_labels(
+        tea_out, thr, targets.orig_size[n_l:], cfg.model.max_events
+    )
+    st_out = model.apply(variables, sfeats[n_l:], pad[n_l:], False,
+                         rngs={"dropout": rng})
+    r = jax.random.split(jax.random.PRNGKey(0), 6)
+    sup_losses, _ = set_criterion(
+        sup_out, jax.tree.map(lambda x: x[:n_l], targets), strong[:n_l],
+        weak[:n_l], cfg.model, cfg.loss, rng=r[3],
+    )
+    un_losses, _ = set_criterion(
+        st_out, pseudo, unlabel[n_l:], None, cfg.model, cfg.loss, rng=r[4],
+    )
+    expected = total_loss(sup_losses, wd) + total_loss(un_losses, wd)
+    np.testing.assert_allclose(float(m["loss"]), float(expected), rtol=1e-4)
+
+
 def test_adjust_threshold():
     from sound_event_detection_transformer_tpu.engine import adjust_threshold
 
