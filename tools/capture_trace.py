@@ -25,11 +25,13 @@ def main():
     ap.add_argument("--batch", default=64, type=int)
     ap.add_argument("--compute_dtype", default=None,
                     help="override model compute dtype")
+    ap.add_argument("--semi", action="store_true",
+                    help="trace the mean-teacher semi step instead")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_cfg
     from sound_event_detection_transformer_tpu.engine import (
-        Batch, TrainState, make_train_step,
+        Batch, TrainState, make_semi_train_step, make_train_step,
     )
     from sound_event_detection_transformer_tpu.models import build_model, empty_targets
     from sound_event_detection_transformer_tpu.parallel.optim import make_optimizer
@@ -39,7 +41,21 @@ def main():
 
     enable_compilation_cache()
     B = args.batch
-    cfg = _flagship_cfg(tiny=False)
+    if args.semi:
+        # match tools/profile_semi.py's geometry (DCASE recipe, E=6/D=6)
+        from sound_event_detection_transformer_tpu import config as C
+        feats_cfg = C.FeatureConfig.dcase()
+        cfg = C.SEDTConfig(
+            features=feats_cfg,
+            model=C.ModelConfig(
+                backbone="resnet50", enc_layers=6, dec_layers=6,
+                num_queries=20, num_classes=10, dec_at=True,
+                max_frames=feats_cfg.max_frames, n_mels=feats_cfg.n_mels,
+            ),
+            data=C.DataConfig(classes=C.DCASE_CLASSES, batch_size=B),
+        )
+    else:
+        cfg = _flagship_cfg(tiny=False)
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=B))
     if args.compute_dtype:
         cfg = cfg.replace(
@@ -77,18 +93,46 @@ def main():
         pad_mask=pad, targets=tgts,
         strong=jnp.ones((B,), bool), weak=jnp.zeros((B,), bool),
     )
-    step = make_train_step(model, wd, cfg, tx)
     key = jax.random.PRNGKey(1)
-    for i in range(3):  # compile + warm outside the trace
-        state, m = step(state, batch, jax.random.fold_in(key, i))
-    _ = float(m["loss"])
+    if args.semi:
+        # mirror tools/profile_semi.py: DCASE layout, labeled first half
+        n_labeled = B // 2
+        pos = np.arange(B)
+        strong = jnp.asarray(pos < B // 4)
+        weakm = jnp.asarray((pos >= B // 4) & (pos < n_labeled))
+        unlabel = jnp.asarray(pos >= n_labeled)
+        v = np.asarray(tgts.box_valid)
+        v[n_labeled:] = False
+        tgts = tgts._replace(box_valid=jnp.asarray(v), label_valid=jnp.asarray(v))
+        thr = jnp.full((cfg.model.num_classes,), 0.5, jnp.float32)
+        sfeats = batch.feats + 0.01
+        ema = jax.tree.map(jnp.copy, state.params)
+        sstep = make_semi_train_step(model, wd, cfg, tx, n_labeled=n_labeled)
 
-    with jax.profiler.trace(args.out):
-        for i in range(args.iters):
-            state, m = step(state, batch, jax.random.fold_in(key, 100 + i))
+        def step_fn(state, ema, i):
+            return sstep(state, ema, batch.feats, sfeats, pad, tgts, strong,
+                         weakm, unlabel, thr, jax.random.fold_in(key, i),
+                         jnp.asarray(True))
+
+        for i in range(3):
+            state, ema, m, _ = step_fn(state, ema, i)
         _ = float(m["loss"])
+        with jax.profiler.trace(args.out):
+            for i in range(args.iters):
+                state, ema, m, _ = step_fn(state, ema, 100 + i)
+            _ = float(m["loss"])
+    else:
+        step = make_train_step(model, wd, cfg, tx)
+        for i in range(3):  # compile + warm outside the trace
+            state, m = step(state, batch, jax.random.fold_in(key, i))
+        _ = float(m["loss"])
+
+        with jax.profiler.trace(args.out):
+            for i in range(args.iters):
+                state, m = step(state, batch, jax.random.fold_in(key, 100 + i))
+            _ = float(m["loss"])
     print(f"trace written to {args.out} (dtype={cfg.model.compute_dtype}, "
-          f"{args.iters} steps)")
+          f"{args.iters} steps, semi={args.semi})")
 
 
 if __name__ == "__main__":
