@@ -27,6 +27,9 @@ def main():
                     help="override model compute dtype")
     ap.add_argument("--semi", action="store_true",
                     help="trace the mean-teacher semi step instead")
+    ap.add_argument("--spsedt", action="store_true",
+                    help="trace the SP-SEDT pretrain step instead "
+                         "(batch 200 + 10 patches recipe geometry)")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_cfg
@@ -41,7 +44,25 @@ def main():
 
     enable_compilation_cache()
     B = args.batch
-    if args.semi:
+    if args.spsedt:
+        # match tools/profile_spsedt.py's recipe geometry (reference
+        # README.md:50-64: batch 200, 10 patches, E=6, feature recon)
+        from sound_event_detection_transformer_tpu import config as C
+        if args.batch == 64:  # default unchanged -> use the recipe's 200
+            B = 200
+        P = 10
+        feats_cfg = C.FeatureConfig.dcase()
+        cfg = C.SEDTConfig(
+            features=feats_cfg,
+            model=C.ModelConfig(
+                backbone="resnet50", enc_layers=6, dec_layers=6,
+                num_queries=20, num_classes=1, dec_at=False, self_sup=True,
+                feature_recon=True, num_patches=P,
+                max_frames=feats_cfg.max_frames, n_mels=feats_cfg.n_mels,
+            ),
+            data=C.DataConfig(classes=["event"], batch_size=B),
+        )
+    elif args.semi:
         # match tools/profile_semi.py's geometry (DCASE recipe, E=6/D=6)
         from sound_event_detection_transformer_tpu import config as C
         feats_cfg = C.FeatureConfig.dcase()
@@ -64,18 +85,65 @@ def main():
     model, wd = build_model(cfg)
     T, F = cfg.model.max_frames, cfg.model.n_mels
     rng = jax.random.PRNGKey(0)
-    feats0 = jnp.zeros((B, T, F, 1), jnp.float32)
     pad = jnp.zeros((B, T), bool)
-    variables = jax.jit(
-        lambda r, f, p: model.init({"params": r, "dropout": r}, f, p, True)
-    )(rng, feats0, pad)
-    tx = make_optimizer(variables["params"], cfg.train, steps_per_epoch=100)
-    state = TrainState(
-        variables["params"], variables.get("frozen", {}),
-        tx.init(variables["params"]), jnp.asarray(0),
-    )
+    if args.spsedt:
+        from sound_event_detection_transformer_tpu.engine import init_train_state
+        tx = make_optimizer(
+            jax.eval_shape(
+                lambda r: model.init(
+                    {"params": r, "dropout": r, "patch_mask": r},
+                    jnp.zeros((2, T, F, 1)), jnp.zeros((2, T), bool),
+                    jnp.zeros((2, P, 128, 64, 1)), True,
+                )["params"],
+                rng,
+            ),
+            cfg.train, steps_per_epoch=100,
+        )
+        state = init_train_state(
+            model, cfg, tx, rng, (B, T, F), patches_shape=(B, P, 128, 64, 1)
+        )
+    else:
+        feats0 = jnp.zeros((B, T, F, 1), jnp.float32)
+        variables = jax.jit(
+            lambda r, f, p: model.init({"params": r, "dropout": r}, f, p, True)
+        )(rng, feats0, pad)
+        tx = make_optimizer(variables["params"], cfg.train, steps_per_epoch=100)
+        state = TrainState(
+            variables["params"], variables.get("frozen", {}),
+            tx.init(variables["params"]), jnp.asarray(0),
+        )
     rs = np.random.RandomState(0)
     tgts = empty_targets(B, cfg.model.max_events, cfg.features.max_len_seconds)
+    if args.spsedt:
+        M = cfg.model.max_events
+        lab = np.zeros((B, M), np.int32)
+        box = np.zeros((B, M, 2), np.float32)
+        box[:, :P, 0] = rs.uniform(0.1, 0.9, (B, P))
+        box[:, :P, 1] = rs.uniform(0.05, 0.3, (B, P))
+        val = np.zeros((B, M), bool)
+        val[:, :P] = True
+        tgts = tgts._replace(
+            labels=jnp.asarray(lab), boxes=jnp.asarray(box),
+            box_valid=jnp.asarray(val), label_valid=jnp.asarray(val),
+        )
+        batch = Batch(
+            feats=jnp.asarray(rs.randn(B, T, F, 1), jnp.float32),
+            pad_mask=pad, targets=tgts,
+            strong=jnp.ones((B,), bool), weak=jnp.zeros((B,), bool),
+            patches=jnp.asarray(rs.randn(B, P, 128, 64, 1), jnp.float32),
+        )
+        step = make_train_step(model, wd, cfg, tx, augment_on=False)
+        key = jax.random.PRNGKey(1)
+        for i in range(3):
+            state, m = step(state, batch, jax.random.fold_in(key, i))
+        _ = float(m["loss"])
+        with jax.profiler.trace(args.out):
+            for i in range(args.iters):
+                state, m = step(state, batch, jax.random.fold_in(key, 100 + i))
+            _ = float(m["loss"])
+        print(f"trace written to {args.out} (dtype={cfg.model.compute_dtype}, "
+              f"{args.iters} steps, spsedt batch={B} patches={P})")
+        return
     valid = rs.rand(B, cfg.model.max_events) < 0.3
     valid[:, 0] = True
     tgts = tgts._replace(
