@@ -447,14 +447,16 @@ def make_eval_step(model, weight_dict, cfg: SEDTConfig, fusion_strategy):
     """Jitted eval forward: losses + per-fusion-strategy device postprocess.
 
     Returns a dict with host-decodable arrays (reference engine.py:218-297's
-    device portion)."""
+    device portion).  ``valid`` ([B] bool) marks real rows; padded tail rows
+    (index -1 repeats of the last real sample) are excluded from the loss
+    masks so the logged eval means are exact."""
     fusion_strategy = tuple(fusion_strategy)
 
-    def step(params, frozen, batch: Batch):
+    def step(params, frozen, batch: Batch, valid):
         variables = {"params": params, "frozen": frozen}
         out = model.apply(variables, batch.feats, batch.pad_mask, True)
         losses, _ = set_criterion(
-            out, batch.targets, batch.strong, None, cfg.model, cfg.loss
+            out, batch.targets, batch.strong & valid, None, cfg.model, cfg.loss
         )
         res = {"losses": losses}
         audio_tags = None

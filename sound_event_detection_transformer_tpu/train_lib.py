@@ -405,15 +405,16 @@ def evaluate(
     psds_thresholds: Optional[Sequence[float]] = None,
     weight_dict: Optional[Dict[str, float]] = None,
     bank=None,
+    loss_means_out: Optional[Dict] = None,
 ) -> Dict[int, float]:
     """Full eval: jitted forward+postprocess, host decode, native metrics
     (reference engine.py:199-297).
 
     When ``weight_dict`` is given, the per-batch criterion losses computed on
     device are accumulated and logged as "Val averaged stats" (reference
-    engine.py:246-257,293).  Padded tail rows contribute to the loss means
-    (they repeat the final real sample, so the bias is a fraction of one
-    batch).
+    engine.py:246-257,293).  Padded tail rows are masked out of the loss
+    computation and each batch is weighted by its real-row count, so the
+    means are exact over the dataset (pinned by tests/test_eval_exact.py).
     """
     import pandas as pd
 
@@ -436,10 +437,12 @@ def evaluate(
             batch = batch._replace(
                 feats=bank.gather(np.maximum(np.asarray(batch.indexes), 0))
             )
-        res = eval_step(state.params, state.frozen, batch)
-        if loss_acc is not None:
-            loss_acc.update(res["losses"])  # device-side sums, one fetch
         idxs = np.asarray(batch.indexes)
+        valid = idxs >= 0  # padded tail rows carry index -1
+        res = eval_step(state.params, state.frozen, batch, jnp.asarray(valid))
+        if loss_acc is not None:
+            # weight by real rows -> exact dataset means despite tail padding
+            loss_acc.update(res["losses"], weight=float(valid.sum()))
         if at and "at" in res:
             tags = np.asarray(res["at"]) > 0.5
             for j, row in enumerate(tags):
@@ -476,6 +479,8 @@ def evaluate(
 
     if loss_acc is not None and loss_acc.steps:
         means, _ = loss_acc.means()
+        if loss_means_out is not None:
+            loss_means_out.update(means)
         vlog = MetricLogger(delimiter="  ")
         get_reduced_loss(means, weight_dict, vlog)
         log.info("Val averaged stats:\n" + str(vlog))

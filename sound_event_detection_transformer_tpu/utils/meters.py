@@ -167,14 +167,26 @@ class DeviceMetricAccumulator:
     def __init__(self):
         self._sum = None
         self._n = 0
+        self._w = 0.0
 
-    def update(self, metrics: Dict) -> None:
-        """Add one step's metric dict (device scalars/arrays). Async."""
+    def update(self, metrics: Dict, weight: float = 1.0) -> None:
+        """Add one step's metric dict (device scalars/arrays). Async.
+
+        ``weight`` scales this step's contribution; ``means()`` divides by
+        the total weight.  The eval loop weights each batch by its number of
+        REAL (non-padded) rows so a padded ragged-tail batch contributes
+        exactly its real samples to the epoch means.
+        """
         self._n += 1
+        self._w += weight
         if self._sum is None:
-            self._sum = dict(metrics)
-        else:
+            self._sum = (
+                dict(metrics) if weight == 1.0 else _tree_scale(dict(metrics), weight)
+            )
+        elif weight == 1.0:
             self._sum = _tree_add(self._sum, dict(metrics))
+        else:
+            self._sum = _tree_add_scaled(self._sum, dict(metrics), weight)
 
     @property
     def steps(self) -> int:
@@ -199,9 +211,10 @@ class DeviceMetricAccumulator:
         return out
 
     def means(self):
-        """(dict of epoch means, step count); one device fetch."""
+        """(dict of weight-normalized epoch means, step count); one fetch."""
         t = self.totals()
-        return {k: v / max(self._n, 1) for k, v in t.items()}, self._n
+        denom = self._w if self._w > 0 else max(self._n, 1)
+        return {k: v / denom for k, v in t.items()}, self._n
 
 
 def _tree_add(a, b):
@@ -213,6 +226,28 @@ def _tree_add(a, b):
             lambda x, y: jax.tree.map(lambda p, q: p + q, x, y)
         )
     return _TREE_ADD_JIT(a, b)
+
+
+def _tree_add_scaled(a, b, w):
+    global _TREE_ADD_SCALED_JIT
+    if _TREE_ADD_SCALED_JIT is None:
+        import jax
+
+        _TREE_ADD_SCALED_JIT = jax.jit(
+            lambda x, y, s: jax.tree.map(lambda p, q: p + s * q, x, y)
+        )
+    return _TREE_ADD_SCALED_JIT(a, b, w)
+
+
+def _tree_scale(a, w):
+    global _TREE_SCALE_JIT
+    if _TREE_SCALE_JIT is None:
+        import jax
+
+        _TREE_SCALE_JIT = jax.jit(
+            lambda x, s: jax.tree.map(lambda p: s * p, x)
+        )
+    return _TREE_SCALE_JIT(a, w)
 
 
 def _pack_scalars(xs):
@@ -228,6 +263,8 @@ def _pack_scalars(xs):
 
 
 _TREE_ADD_JIT = None
+_TREE_ADD_SCALED_JIT = None
+_TREE_SCALE_JIT = None
 _PACK_JIT = None
 
 

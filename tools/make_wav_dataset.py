@@ -17,6 +17,16 @@ in-memory benchmark family (ACCURACY.md).
 
 Usage: python tools/make_wav_dataset.py --root ./data --train 2048 \
           --validate 512 --test 512 [--seed 0]
+
+``--dataname dcase`` instead emits the DCASE2019-task4 layout the dcase code
+path expects (reference config.py:14-32, train_ss_sedt.py:100-113): 16 kHz
+audio, strong labels under ``metadata/train/synthetic_2019/soundscapes.tsv``,
+weak clip tags (``event_labels`` comma list) under ``metadata/train/weak.tsv``,
+an unlabeled ``metadata/train/unlabel_in_domain.tsv`` (filenames only),
+validation audio directly under ``audio/validation``:
+
+    python tools/make_wav_dataset.py --root ./datadc --dataname dcase \
+        --strong 2048 --weak 2048 --unlabel 8192 --validate 1024 --test 1024
 """
 from __future__ import annotations
 
@@ -29,23 +39,23 @@ import numpy as np
 
 sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 
-from sound_event_detection_transformer_tpu.config import URBAN_CLASSES
+from sound_event_detection_transformer_tpu.config import DCASE_CLASSES, URBAN_CLASSES
 
 SR = 44100
 SECONDS = 10.0
 
 
 def synth_clip(rng: np.random.RandomState, n_classes: int, max_events: int = 3,
-               min_events: int = 1):
+               min_events: int = 1, sr: int = SR):
     """One 10 s waveform + its event list [(label_idx, onset_s, offset_s)]."""
-    n = int(SR * SECONDS)
+    n = int(sr * SECONDS)
     y = rng.randn(n).astype(np.float32) * 0.03  # ~-30 dB noise floor
     events = []
     for _ in range(rng.randint(min_events, max_events + 1)):
         ci = rng.randint(n_classes)
         dur = rng.uniform(0.8, 3.5)  # seconds — same band as make_clip
         on = rng.uniform(0.0, SECONDS - dur)
-        t = np.arange(int(dur * SR)) / SR
+        t = np.arange(int(dur * sr)) / sr
         f0 = 220.0 * (ci + 1)
         burst = np.zeros_like(t, np.float32)
         for h, amp in ((1, 1.0), (2, 0.5), (3, 0.25)):
@@ -53,55 +63,102 @@ def synth_clip(rng: np.random.RandomState, n_classes: int, max_events: int = 3,
         # 10 ms linear attack/release so the band edge is not a click
         env = np.minimum(1.0, np.minimum(t, dur - t) / 0.01).astype(np.float32)
         burst *= 0.2 * env * rng.uniform(0.7, 1.3)
-        i0 = int(on * SR)
+        i0 = int(on * sr)
         y[i0:i0 + len(t)] += burst
         events.append((ci, on, on + dur))
     return y, events
 
 
-def write_split(root: str, split: str, n_clips: int, classes, seed: int):
+def write_split(root: str, split: str, n_clips: int, classes, seed: int,
+                sr: int = SR, audio_sub: str = None, tsv_path: str = None,
+                label_mode: str = "strong"):
+    """Emit one split: wavs under ``audio/<audio_sub or split>`` plus its TSV.
+
+    ``label_mode``: 'strong' = (filename, onset, offset, event_label) rows;
+    'weak' = (filename, event_labels) comma-joined clip tags (the DCASE
+    weak.tsv format the dataset reads via ``DataLoadDf._raw_label``);
+    'unlabel' = a filename-only TSV (unlabel_in_domain.tsv).
+    """
     from scipy.io import wavfile
     import pandas as pd
 
     rng = np.random.RandomState(seed)
-    adir = osp.join(root, "audio", split)
+    adir = osp.join(root, "audio", audio_sub or split)
     os.makedirs(adir, exist_ok=True)
     rows = []
     for i in range(n_clips):
         fname = f"{split}_clip_{i}.wav"
-        y, events = synth_clip(rng, len(classes))
+        y, events = synth_clip(rng, len(classes), sr=sr)
         wavfile.write(
-            osp.join(adir, fname), SR,
+            osp.join(adir, fname), sr,
             (np.clip(y, -1, 1) * 32767).astype(np.int16),
         )
-        for ci, on, off in events:
-            rows.append((fname, round(on, 3), round(off, 3), classes[ci]))
-        if (i + 1) % 256 == 0:
-            print(f"  {split}: {i + 1}/{n_clips}")
-    mdir = osp.join(root, "metadata")
-    os.makedirs(mdir, exist_ok=True)
-    pd.DataFrame(
-        rows, columns=["filename", "onset", "offset", "event_label"]
-    ).to_csv(osp.join(mdir, f"{split}.tsv"), sep="\t", index=False)
-    print(f"{split}: {n_clips} clips, {len(rows)} events")
+        if label_mode == "strong":
+            for ci, on, off in events:
+                rows.append((fname, round(on, 3), round(off, 3), classes[ci]))
+        elif label_mode == "weak":
+            tags = sorted({classes[ci] for ci, _, _ in events})
+            rows.append((fname, ",".join(tags)))
+        else:  # unlabel
+            rows.append((fname,))
+        if (i + 1) % 512 == 0:
+            print(f"  {split}: {i + 1}/{n_clips}", flush=True)
+    tsv = tsv_path or osp.join(root, "metadata", f"{split}.tsv")
+    os.makedirs(osp.dirname(tsv), exist_ok=True)
+    cols = {
+        "strong": ["filename", "onset", "offset", "event_label"],
+        "weak": ["filename", "event_labels"],
+        "unlabel": ["filename"],
+    }[label_mode]
+    pd.DataFrame(rows, columns=cols).to_csv(tsv, sep="\t", index=False)
+    print(f"{split}: {n_clips} clips, {len(rows)} rows ({label_mode})")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="./data")
-    ap.add_argument("--train", default=2048, type=int)
+    ap.add_argument("--dataname", default="urbansed", choices=["urbansed", "dcase"])
+    ap.add_argument("--train", default=2048, type=int, help="urbansed strong train")
+    ap.add_argument("--strong", default=2048, type=int, help="dcase synthetic_2019")
+    ap.add_argument("--weak", default=2048, type=int)
+    ap.add_argument("--unlabel", default=8192, type=int)
     ap.add_argument("--validate", default=512, type=int)
     ap.add_argument("--test", default=512, type=int)
     ap.add_argument("--num_classes", default=10, type=int)
     ap.add_argument("--seed", default=0, type=int)
     args = ap.parse_args()
 
-    classes = URBAN_CLASSES[: args.num_classes]
-    root = osp.join(args.root, "urbansed")
-    # disjoint seeds per split (same convention as SyntheticDataset usage)
-    write_split(root, "train", args.train, classes, args.seed)
-    write_split(root, "validate", args.validate, classes, args.seed + 1)
-    write_split(root, "test", args.test, classes, args.seed + 2)
+    if args.dataname == "urbansed":
+        classes = URBAN_CLASSES[: args.num_classes]
+        root = osp.join(args.root, "urbansed")
+        # disjoint seeds per split (same convention as SyntheticDataset usage)
+        write_split(root, "train", args.train, classes, args.seed)
+        write_split(root, "validate", args.validate, classes, args.seed + 1)
+        write_split(root, "test", args.test, classes, args.seed + 2)
+        return
+    # DCASE2019-task4 layout (16 kHz; paths mirror build_real_data +
+    # run_semi/run_spsedt expectations, train_lib.py:322-336, 878, 1098)
+    classes = DCASE_CLASSES[: args.num_classes]
+    root = osp.join(args.root, "dcase")
+    sr = 16000
+    meta = lambda *p: osp.join(root, "metadata", *p)
+    write_split(root, "synthetic", args.strong, classes, args.seed, sr=sr,
+                audio_sub=osp.join("train", "synthetic_2019", "soundscapes"),
+                tsv_path=meta("train", "synthetic_2019", "soundscapes.tsv"))
+    write_split(root, "weak", args.weak, classes, args.seed + 3, sr=sr,
+                audio_sub=osp.join("train", "weak"),
+                tsv_path=meta("train", "weak.tsv"), label_mode="weak")
+    write_split(root, "unlabel", args.unlabel, classes, args.seed + 4, sr=sr,
+                audio_sub=osp.join("train", "unlabel_in_domain"),
+                tsv_path=meta("train", "unlabel_in_domain.tsv"),
+                label_mode="unlabel")
+    # validation audio lives directly under audio/validation (config.py:26)
+    write_split(root, "validation", args.validate, classes, args.seed + 1,
+                sr=sr, audio_sub="validation",
+                tsv_path=meta("validation", "validation.tsv"))
+    write_split(root, "public", args.test, classes, args.seed + 2, sr=sr,
+                audio_sub=osp.join("eval", "public"),
+                tsv_path=meta("eval", "public.tsv"))
 
 
 if __name__ == "__main__":
