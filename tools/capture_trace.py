@@ -22,14 +22,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sedt_trace")
     ap.add_argument("--iters", default=5, type=int)
-    ap.add_argument("--batch", default=64, type=int)
+    ap.add_argument("--batch", default=None, type=int,
+                    help="batch size (default: 64 flagship/semi, 200 spsedt)")
     ap.add_argument("--compute_dtype", default=None,
                     help="override model compute dtype")
-    ap.add_argument("--semi", action="store_true",
-                    help="trace the mean-teacher semi step instead")
-    ap.add_argument("--spsedt", action="store_true",
-                    help="trace the SP-SEDT pretrain step instead "
-                         "(batch 200 + 10 patches recipe geometry)")
+    mode = ap.add_mutually_exclusive_group()
+    mode.add_argument("--semi", action="store_true",
+                      help="trace the mean-teacher semi step instead")
+    mode.add_argument("--spsedt", action="store_true",
+                      help="trace the SP-SEDT pretrain step instead "
+                           "(batch 200 + 10 patches recipe geometry)")
+    ap.add_argument("--host_patches", action="store_true",
+                    help="with --spsedt: feed host-cropped patches instead of "
+                         "the production in-graph extract_patches_device path")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_cfg
@@ -43,13 +48,11 @@ def main():
     )
 
     enable_compilation_cache()
-    B = args.batch
+    B = args.batch if args.batch is not None else (200 if args.spsedt else 64)
     if args.spsedt:
         # match tools/profile_spsedt.py's recipe geometry (reference
         # README.md:50-64: batch 200, 10 patches, E=6, feature recon)
         from sound_event_detection_transformer_tpu import config as C
-        if args.batch == 64:  # default unchanged -> use the recipe's 200
-            B = 200
         P = 10
         feats_cfg = C.FeatureConfig.dcase()
         cfg = C.SEDTConfig(
@@ -126,11 +129,16 @@ def main():
             labels=jnp.asarray(lab), boxes=jnp.asarray(box),
             box_valid=jnp.asarray(val), label_valid=jnp.asarray(val),
         )
+        # Default: patches=None -> the step runs the production in-graph
+        # extract_patches_device gather (engine.py:145-154), so the trace
+        # reflects the real pretrain step.  --host_patches restores the
+        # host-supplied-crop variant for comparison.
         batch = Batch(
             feats=jnp.asarray(rs.randn(B, T, F, 1), jnp.float32),
             pad_mask=pad, targets=tgts,
             strong=jnp.ones((B,), bool), weak=jnp.zeros((B,), bool),
-            patches=jnp.asarray(rs.randn(B, P, 128, 64, 1), jnp.float32),
+            patches=(jnp.asarray(rs.randn(B, P, 128, 64, 1), jnp.float32)
+                     if args.host_patches else None),
         )
         step = make_train_step(model, wd, cfg, tx, augment_on=False)
         key = jax.random.PRNGKey(1)
@@ -142,7 +150,8 @@ def main():
                 state, m = step(state, batch, jax.random.fold_in(key, 100 + i))
             _ = float(m["loss"])
         print(f"trace written to {args.out} (dtype={cfg.model.compute_dtype}, "
-              f"{args.iters} steps, spsedt batch={B} patches={P})")
+              f"{args.iters} steps, spsedt batch={B} patches={P} "
+              f"{'host' if args.host_patches else 'in-graph'} crops)")
         return
     valid = rs.rand(B, cfg.model.max_events) < 0.3
     valid[:, 0] = True
