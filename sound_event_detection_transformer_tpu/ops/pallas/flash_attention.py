@@ -120,6 +120,55 @@ def flash_attention_bh(
     return out[:, :sq, :d]
 
 
+def _reference_attention(q, k, v, bias):
+    """The plain-XLA attention math (f32 softmax), used by the custom VJP to
+    recompute activations in the backward.  Must mirror
+    ``ops.attention.scaled_dot_attention``'s non-flash branch exactly so
+    training through the flash kernel gets the XLA path's gradients."""
+    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_attention_vjp(q, k, v, bias, interpret):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    qf = q.reshape(b * h, sq, d)
+    kf = k.reshape(b * h, sk, d)
+    vf = v.reshape(b * h, sk, d)
+    bf = jnp.broadcast_to(bias, (b, h, sq, sk)).reshape(b * h, sq, sk)
+    out = flash_attention_bh(qf, kf, vf, bf, interpret=interpret)
+    return out.reshape(b, h, sq, d)
+
+
+def _flash_fwd(q, k, v, bias, interpret):
+    # Recompute-style: save only the inputs (O(S*D) like the forward), not
+    # the [Sq, Sk] probabilities.
+    return _flash_attention_vjp(q, k, v, bias, interpret), (q, k, v, bias)
+
+
+def _flash_bwd(interpret, res, g):
+    # Backward recomputes attention through the XLA formulation and
+    # differentiates it — gradients are exactly the non-flash path's
+    # (pinned by tests/test_flash_grad.py).  This materializes the score
+    # matrix for the backward only, i.e. the same peak memory as training
+    # through the XLA path; a blockwise Pallas backward is a further
+    # optimization, not a correctness requirement.
+    q, k, v, bias = res
+    _, pullback = jax.vjp(_reference_attention, q, k, v, bias)
+    return pullback(g)
+
+
+_flash_attention_vjp.defvjp(_flash_fwd, _flash_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,  # [B, H, Sq, D]
     k: jnp.ndarray,
@@ -127,14 +176,10 @@ def flash_attention(
     bias: Optional[jnp.ndarray] = None,  # broadcastable to [B, H, Sq, Sk]
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """[B, H, S, D] wrapper matching ``scaled_dot_attention``'s signature."""
-    b, h, sq, d = q.shape
-    sk = k.shape[2]
-    qf = q.reshape(b * h, sq, d)
-    kf = k.reshape(b * h, sk, d)
-    vf = v.reshape(b * h, sk, d)
-    bf = None
-    if bias is not None:
-        bf = jnp.broadcast_to(bias, (b, h, sq, sk)).reshape(b * h, sq, sk)
-    out = flash_attention_bh(qf, kf, vf, bf, interpret=interpret)
-    return out.reshape(b, h, sq, d)
+    """[B, H, S, D] wrapper matching ``scaled_dot_attention``'s signature.
+
+    Differentiable: a ``custom_vjp`` recomputes the attention in the backward
+    pass (XLA formulation) so flash dispatch is safe inside training steps."""
+    if bias is None:
+        bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    return _flash_attention_vjp(q, k, v, bias, interpret)
