@@ -38,6 +38,8 @@ class PSDSResult:
     max_efpr: float
     efpr_grid: np.ndarray
     etpr_curve: np.ndarray
+    # per-class monotone TPR envelopes over eFPR: {class: (efpr[], tpr[])}
+    per_class_curves: Optional[Dict[str, tuple]] = None
 
 
 def _intersection(a_on, a_off, b_on, b_off) -> float:
@@ -225,7 +227,7 @@ class PSDSEval:
                 np.sum(mu[:-1] * np.diff(grid)) + mu[-1] * (max_efpr - grid[-1])
             )
             value = area / max_efpr
-        return PSDSResult(value, alpha_ct, alpha_st, max_efpr, grid, mu)
+        return PSDSResult(value, alpha_ct, alpha_st, max_efpr, grid, mu, curves)
 
     def compute_macro_f_score(self, detections):
         """Single-OP DTC/GTC-based macro F1 (psds_eval API parity)."""
@@ -245,11 +247,78 @@ class PSDSEval:
 
 
 def psds_score(psds: PSDSEval, filename_roc_curves: Optional[str] = None):
-    """Print the three standard PSDS scores (reference metrics.py:120-144)."""
+    """Print the three standard PSDS scores (reference metrics.py:120-144).
+
+    When ``filename_roc_curves`` is given, the per-class TPR/eFPR ROC
+    staircases and the effective-TPR curve of each scenario are written next
+    to that path — a ``.csv`` always, plus a ``.png`` plot when matplotlib is
+    available (the reference delegates this to ``psds_eval.plot_psd_roc``,
+    /root/reference/utilities/metrics.py:135-140).
+    """
     try:
         for a_ct, a_st in ((0, 0), (1, 0), (0, 1)):
             res = psds.psds(alpha_ct=a_ct, alpha_st=a_st, max_efpr=100)
             print(f"\nPSD-Score ({a_ct}, {a_st}, 100): {res.value:.5f}")
+            if filename_roc_curves:
+                write_roc_curves(res, filename_roc_curves)
     except Exception as e:  # pragma: no cover
         print("psds score did not work ....")
         print(e)
+
+
+def write_roc_curves(res: PSDSResult, base_path: str) -> List[str]:
+    """Persist one scenario's ROC data: per-class envelopes + effective TPR.
+
+    ``base_path`` may be a directory or a path prefix; files are suffixed
+    ``_ct<alpha_ct>_st<alpha_st>.csv`` (and ``.png`` when matplotlib exists).
+    Returns the written paths.
+    """
+    import os
+
+    tag = f"ct{res.alpha_ct:g}_st{res.alpha_st:g}"
+    if os.path.isdir(base_path) or base_path.endswith(os.sep):
+        os.makedirs(base_path, exist_ok=True)
+        prefix = os.path.join(base_path, "psds_roc")
+    else:
+        d = os.path.dirname(base_path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        prefix = base_path
+    written = []
+    csv_path = f"{prefix}_{tag}.csv"
+    with open(csv_path, "w") as f:
+        f.write("curve,efpr_per_hour,tpr\n")
+        for c, (xs, ys) in (res.per_class_curves or {}).items():
+            for x, y in zip(xs, ys):
+                f.write(f"{c},{x:.6f},{y:.6f}\n")
+        for x, y in zip(res.efpr_grid, res.etpr_curve):
+            f.write(f"effective_tpr,{x:.6f},{y:.6f}\n")
+    written.append(csv_path)
+    try:  # optional plot (matplotlib may be absent in minimal images)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 5))
+        for c, (xs, ys) in (res.per_class_curves or {}).items():
+            ax.step(xs, ys, where="post", alpha=0.5, label=str(c))
+        ax.step(res.efpr_grid, res.etpr_curve, where="post", color="black",
+                linewidth=2.0, label="effective TPR")
+        ax.set_xlim(0, res.max_efpr)
+        ax.set_ylim(0, 1.0)
+        ax.set_xlabel("eFPR (per hour)")
+        ax.set_ylabel("TPR")
+        ax.set_title(
+            f"PSDS ROC (alpha_ct={res.alpha_ct:g}, alpha_st={res.alpha_st:g}, "
+            f"PSDS={res.value:.4f})"
+        )
+        ax.legend(fontsize=7, ncol=2)
+        png_path = f"{prefix}_{tag}.png"
+        fig.savefig(png_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        written.append(png_path)
+    except Exception:  # pragma: no cover - matplotlib missing
+        pass
+    print(f"ROC curves written: {', '.join(written)}")
+    return written

@@ -83,6 +83,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_interval", default=1, type=int)
     p.add_argument("--psds", action="store_true", default=False,
                    help="compute PSDS over multiple decode thresholds at the final test")
+    p.add_argument("--roc_curves", default=None,
+                   help="with --psds: write per-class ROC staircases (CSV + "
+                        "PNG) to this path prefix or directory (reference "
+                        "metrics.py:135-140 filename_roc_curves)")
     p.add_argument("--lr_drop", default=200, type=int)
     p.add_argument("--fine_tune", action="store_true", default=False)
     p.add_argument("--normalize", action="store_true", default=False)
@@ -406,6 +410,7 @@ def evaluate(
     weight_dict: Optional[Dict[str, float]] = None,
     bank=None,
     loss_means_out: Optional[Dict] = None,
+    roc_curves: Optional[str] = None,
 ) -> Dict[int, float]:
     """Full eval: jitted forward+postprocess, host decode, native metrics
     (reference engine.py:199-297).
@@ -533,7 +538,7 @@ def evaluate(
                                                 "event_label"])
                 )
             log.info(f"PSDS over {len(psds_thresholds)} operating points:")
-            psds_score(psds)
+            psds_score(psds, filename_roc_curves=roc_curves)
     return metrics
 
 
@@ -816,6 +821,7 @@ def run_supervised(args) -> Dict[int, float]:
                 else None
             ),
             bank=evalset_bank,
+            roc_curves=getattr(args, "roc_curves", None),
         )
     return metrics
 

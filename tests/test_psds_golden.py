@@ -186,3 +186,36 @@ def test_psds_op_at_max_efpr_boundary():
     ]
     res = psds.psds(alpha_ct=0.0, alpha_st=0.0, max_efpr=100.0)
     np.testing.assert_allclose(res.value, 0.25)
+
+
+def test_roc_curve_artifact(tmp_path):
+    """write_roc_curves emits the per-class staircase CSV (+ PNG when
+    matplotlib is present), matching the reference's filename_roc_curves
+    capability (utilities/metrics.py:135-140)."""
+    from sound_event_detection_transformer_tpu.metrics.psds import (
+        psds_score, write_roc_curves,
+    )
+
+    gt = _df([("f1.wav", 2.0, 6.0, "A")])
+    psds = PSDSEval(ground_truth=gt, metadata=META)
+    psds.operating_points = [
+        {"tpr": {"A": 0.5}, "fpr": {"A": 25.0}, "ctr": {"A": {}}},
+        {"tpr": {"A": 0.9}, "fpr": {"A": 75.0}, "ctr": {"A": {}}},
+    ]
+    res = psds.psds(alpha_ct=0.0, alpha_st=0.0, max_efpr=100.0)
+    written = write_roc_curves(res, str(tmp_path) + "/")
+    csvs = [w for w in written if w.endswith(".csv")]
+    assert len(csvs) == 1
+    rows = open(csvs[0]).read().splitlines()
+    assert rows[0] == "curve,efpr_per_hour,tpr"
+    # per-class envelope points present: (0,0), (25,0.5), (75,0.9)
+    a_rows = [r for r in rows if r.startswith("A,")]
+    assert len(a_rows) == 3 and a_rows[-1].startswith("A,75.0")
+    eff = [r for r in rows if r.startswith("effective_tpr,")]
+    assert eff and eff[-1].endswith("0.900000")
+
+    # psds_score with filename_roc_curves writes one CSV per scenario
+    psds_score(psds, filename_roc_curves=str(tmp_path / "roc"))
+    import glob
+
+    assert len(glob.glob(str(tmp_path / "roc_ct*_st*.csv"))) == 3
