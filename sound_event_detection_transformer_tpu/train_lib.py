@@ -1138,6 +1138,21 @@ def run_semi(args) -> Dict[int, float]:
     # the semi step deliberately does NOT donate — see engine.py note)
     ema_params = jax.tree.map(jnp.copy, state.params)
 
+    # periodic-checkpoint resume (reference train_ss_sedt.py:161-175 state
+    # layout: student + EMA teacher + epoch; plus the adapted thresholds,
+    # restored below once initialized).  Must run before the mesh device_put
+    # so resumed trees get the replicated sharding.
+    start_epoch = 0
+    resume_thresholds = None
+    if args.resume:
+        ck = load_checkpoint(osp.join(model_dir, args.resume))
+        state = state._replace(params=ck["params"], frozen=ck["frozen"])
+        if "ema_params" in ck:
+            ema_params = jax.tree.map(jnp.asarray, ck["ema_params"])
+        resume_thresholds = ck.get("classwise_threshold")
+        start_epoch = int(ck.get("epoch", -1)) + 1
+        log.info(f"resumed from {args.resume} at epoch {start_epoch}")
+
     semi_step = make_semi_train_step(
         model, weight_dict, cfg, tx, fine_tune=cfg.train.fine_tune,
         normalize=cfg.train.normalize, fl=cfg.train.focal_loss,
@@ -1177,7 +1192,11 @@ def run_semi(args) -> Dict[int, float]:
     prior = np.asarray(DCASE_CLASS_PRIOR[: cfg.model.num_classes], np.float64)
     prior = prior / prior.sum()
     origin_threshold = np.full((cfg.model.num_classes,), 0.5)
-    classwise_threshold = origin_threshold.copy()
+    classwise_threshold = (
+        np.asarray(resume_thresholds, np.float64)
+        if resume_thresholds is not None
+        else origin_threshold.copy()
+    )
 
     best_saver = {m: SaveBest("sup") for m in cfg.train.fusion_strategy}
     early = EarlyStopping(
@@ -1201,7 +1220,7 @@ def run_semi(args) -> Dict[int, float]:
 
     from .utils.meters import Heartbeat
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         mlog = MetricLogger(delimiter="  ")
         acc = DeviceMetricAccumulator()  # device-side sums, one fetch/epoch
@@ -1302,6 +1321,16 @@ def run_semi(args) -> Dict[int, float]:
             if early.apply(f1):
                 log.warning("EARLY STOPPING")
                 stop = True
+        if (
+            cfg.train.checkpoint_epochs
+            and (epoch + 1) % cfg.train.checkpoint_epochs == 0
+        ):
+            save_checkpoint(
+                osp.join(model_dir, f"{cfg.train.info}_{epoch}"),
+                {"params": state.params, "ema_params": ema_params,
+                 "frozen": state.frozen, "epoch": epoch,
+                 "classwise_threshold": np.asarray(classwise_threshold)},
+            )
         if stop:
             break
 
