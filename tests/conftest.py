@@ -32,3 +32,20 @@ def _assert_cpu():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (train smokes, multi-process SPMD); "
+             "the fast default keeps the inner loop under ~6 minutes",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -16,6 +16,7 @@ FLAGS = [
 ]
 
 
+@pytest.mark.slow
 def test_predict_cli_writes_tsv(tmp_path):
     from scipy.io import wavfile
 

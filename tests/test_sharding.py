@@ -75,6 +75,8 @@ def test_data_parallel_matches_single_device():
     )
 
 
+@pytest.mark.slow  # ~250 s: full train step on a (data x model) mesh; the
+# driver's dryrun_multichip exercises this same path every round
 def test_sharded_train_step_runs_dp_tp():
     """Tiny SEDT train step over a (4, 2) mesh: compiles + finite loss."""
     import __graft_entry__ as g
