@@ -178,6 +178,11 @@ class DataConfig:
     num_workers: int = 0
     in_memory: bool = True
     nb_files: Optional[int] = None  # subset for debugging
+    # cap the strong (synthetic) split to its first N clips, leaving weak /
+    # unlabel / validation / eval untouched — the label-scarcity knob for
+    # semi-supervised controls (the reference's nb_files analogue,
+    # SedData.py:420-445, subsets every split and so can't isolate strong)
+    max_strong_clips: Optional[int] = None
 
     @property
     def num_classes(self) -> int:

@@ -68,6 +68,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--smoke_clips", default=64, type=int)
     p.add_argument("--data_root", default="./data", type=str)
     p.add_argument("--nb_files", default=None, type=int)
+    p.add_argument("--max_strong_clips", default=None, type=int,
+                   help="cap the strong (synthetic) training split to its "
+                        "first N clips; other splits untouched (semi-sup "
+                        "label-scarcity controls)")
     # train
     p.add_argument("--lr", default=1e-4, type=float)
     p.add_argument("--lr_backbone", default=1e-4, type=float)
@@ -239,6 +243,7 @@ def args_to_config(args) -> SEDTConfig:
         batch_size=args.batch_size,
         n_weak=args.n_weak,
         nb_files=args.nb_files,
+        max_strong_clips=getattr(args, "max_strong_clips", None),
     )
     aug = C.AugmentConfig(
         mix_up_ratio=args.mix_up_ratio,
@@ -310,6 +315,20 @@ def build_synthetic_data(cfg: SEDTConfig, args) -> Dict:
     }
 
 
+def cap_strong_clips(df, n: int):
+    """Keep only the first ``n`` distinct clips of a strong-label DataFrame.
+
+    The label-scarcity knob for semi-supervised controls: unlike the
+    reference's ``nb_files`` (SedData.py:420-445), which subsets every
+    split, this caps ONLY the strong (synthetic) training split so the
+    weak/unlabel/validation/eval splits stay identical between a supervised
+    control and its semi-supervised counterpart.  Clip order is the TSV's
+    (deterministic), so two runs with the same ``n`` see the same subset.
+    """
+    keep = set(df["filename"].drop_duplicates().iloc[:n])
+    return df[df["filename"].isin(keep)].reset_index(drop=True)
+
+
 def build_real_data(cfg: SEDTConfig, args) -> Dict:
     """TSV-backed datasets (reference train_sedt.py:163-224)."""
     from .data.features import SedData, get_dfs
@@ -339,6 +358,10 @@ def build_real_data(cfg: SEDTConfig, args) -> Dict:
         else {"validation": osp.join(root, "audio", "validation")}
     )
     dfs = get_dfs(ds, paths, nb_files=cfg.data.nb_files, audio_dirs=audio_dirs)
+    if cfg.data.max_strong_clips and "synthetic" in dfs:
+        dfs["synthetic"] = cap_strong_clips(
+            dfs["synthetic"], cfg.data.max_strong_clips
+        )
     enc = BoxEncoder(list(cfg.data.classes), seconds=cfg.features.max_len_seconds)
 
     scaler = Scaler()

@@ -192,3 +192,27 @@ def test_cache_transformed_exact(tmp_path, rng):
         np.testing.assert_array_equal(d0, d2)
         np.testing.assert_array_equal(y0["boxes"], y2["boxes"])
         assert d2 is d1  # cache hit returns the stored object
+
+
+def test_cap_strong_clips_subsets_only_named_clips():
+    """--max_strong_clips keeps the first N distinct clips (all their event
+    rows) and leaves order deterministic — the label-scarcity knob used by
+    the semi-supervised controls (ACCURACY.md Run 10e)."""
+    from sound_event_detection_transformer_tpu.train_lib import cap_strong_clips
+
+    df = pd.DataFrame(
+        {
+            "filename": ["a.wav", "a.wav", "b.wav", "c.wav", "c.wav", "d.wav"],
+            "onset": [0.0, 2.0, 1.0, 0.5, 3.0, 4.0],
+            "offset": [1.0, 3.0, 2.0, 1.5, 4.0, 5.0],
+            "event_label": ["x", "y", "x", "y", "x", "y"],
+        }
+    )
+    out = cap_strong_clips(df, 2)
+    assert sorted(out["filename"].unique()) == ["a.wav", "b.wav"]
+    assert len(out) == 3  # both of a.wav's events survive
+    assert list(out.index) == [0, 1, 2]
+    # idempotent / stable: same n -> same subset
+    pd.testing.assert_frame_equal(out, cap_strong_clips(df, 2))
+    # n beyond the clip count is a no-op
+    pd.testing.assert_frame_equal(cap_strong_clips(df, 99), df)
