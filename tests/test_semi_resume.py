@@ -30,7 +30,9 @@ def _run(tmp_path, extra):
 def test_semi_periodic_checkpoint_and_resume(tmp_path):
     r = _run(tmp_path, ["--epochs", "2"])
     assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
-    mdir = tmp_path / "urbansed" / "model"
+    # the semi trainer is dcase-only (cli.py asserts it), so the smoke's
+    # store_dir is <exp_root>/dcase even in synthetic mode
+    mdir = tmp_path / "dcase" / "model"
     assert (mdir / "rsm_0").exists() and (mdir / "rsm_1").exists()
 
     r2 = _run(tmp_path, ["--epochs", "3", "--resume", "rsm_1"])
