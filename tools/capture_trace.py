@@ -178,7 +178,7 @@ def main():
         strong = jnp.asarray(pos < B // 4)
         weakm = jnp.asarray((pos >= B // 4) & (pos < n_labeled))
         unlabel = jnp.asarray(pos >= n_labeled)
-        v = np.asarray(tgts.box_valid)
+        v = np.array(tgts.box_valid)  # np.asarray of a jax array is read-only
         v[n_labeled:] = False
         tgts = tgts._replace(box_valid=jnp.asarray(v), label_valid=jnp.asarray(v))
         thr = jnp.full((cfg.model.num_classes,), 0.5, jnp.float32)
