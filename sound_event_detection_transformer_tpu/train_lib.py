@@ -442,7 +442,10 @@ def evaluate(
     device are accumulated and logged as "Val averaged stats" (reference
     engine.py:246-257,293).  Padded tail rows are masked out of the loss
     computation and each batch is weighted by its real-row count, so the
-    means are exact over the dataset (pinned by tests/test_eval_exact.py).
+    means are independent of tail padding (pinned by tests/test_eval_exact.py).
+    Box-normalized terms are still per-batch ``num_boxes`` means (the
+    reference's semantics, engine.py:251-257), so with variable events-per-clip
+    they remain weakly batch-composition dependent — same as the reference.
     """
     import pandas as pd
 
@@ -1164,16 +1167,33 @@ def run_semi(args) -> Dict[int, float]:
     # periodic-checkpoint resume (reference train_ss_sedt.py:161-175 state
     # layout: student + EMA teacher + epoch; plus the adapted thresholds,
     # restored below once initialized).  Must run before the mesh device_put
-    # so resumed trees get the replicated sharding.
+    # so resumed trees get the replicated sharding.  Restores via
+    # from_state_dict against the initialized trees (keeps pytree structure)
+    # and includes AdamW moments + step so a watchdog auto-resume does not
+    # silently reset the optimizer or the cosine LR schedule.
     start_epoch = 0
     resume_thresholds = None
+    resume_policies = None
     if args.resume:
+        from flax import serialization
+
         ck = load_checkpoint(osp.join(model_dir, args.resume))
-        state = state._replace(params=ck["params"], frozen=ck["frozen"])
+        opt_state = state.opt_state
+        if "opt_state" in ck:
+            opt_state = serialization.from_state_dict(opt_state, ck["opt_state"])
+        state = state._replace(
+            params=serialization.from_state_dict(state.params, ck["params"]),
+            frozen=serialization.from_state_dict(state.frozen, ck["frozen"]),
+            opt_state=opt_state,
+            step=jnp.asarray(int(ck.get("step", 0))),
+        )
         if "ema_params" in ck:
-            ema_params = jax.tree.map(jnp.asarray, ck["ema_params"])
+            ema_params = serialization.from_state_dict(ema_params, ck["ema_params"])
         resume_thresholds = ck.get("classwise_threshold")
+        resume_policies = ck.get("policies")
         start_epoch = int(ck.get("epoch", -1)) + 1
+        # don't replay epochs 0..N's exact augmentation/noise key sequence
+        rng = jax.random.fold_in(rng, start_epoch)
         log.info(f"resumed from {args.resume} at epoch {start_epoch}")
 
     semi_step = make_semi_train_step(
@@ -1227,6 +1247,12 @@ def run_semi(args) -> Dict[int, float]:
         init_patience=cfg.train.early_stopping_init_wait,
         fusion_strategy=cfg.train.fusion_strategy,
     )
+    if resume_policies is not None:  # keep best-score tracking + patience
+        for m in cfg.train.fusion_strategy:
+            if str(m) in resume_policies.get("best_saver", {}):
+                best_saver[m].load_state_dict(resume_policies["best_saver"][str(m)])
+        if "early" in resume_policies:
+            early.load_state_dict(resume_policies["early"])
     metrics: Dict[int, float] = {}
     a = cfg.augment
 
@@ -1352,7 +1378,15 @@ def run_semi(args) -> Dict[int, float]:
                 osp.join(model_dir, f"{cfg.train.info}_{epoch}"),
                 {"params": state.params, "ema_params": ema_params,
                  "frozen": state.frozen, "epoch": epoch,
-                 "classwise_threshold": np.asarray(classwise_threshold)},
+                 # full resume state: AdamW moments + step (LR schedule) +
+                 # SaveBest/EarlyStopping, so auto-resume == uninterrupted
+                 "opt_state": state.opt_state, "step": int(state.step),
+                 "classwise_threshold": np.asarray(classwise_threshold),
+                 "policies": {
+                     "best_saver": {str(m): s.state_dict()
+                                    for m, s in best_saver.items()},
+                     "early": early.state_dict(),
+                 }},
             )
         if stop:
             break

@@ -150,6 +150,11 @@ class SaveBest:
             "current_epoch": self.current_epoch,
         }
 
+    def load_state_dict(self, sd) -> None:
+        self.best_val = float(sd["best_val"])
+        self.best_epoch = int(sd["best_epoch"])
+        self.current_epoch = int(sd["current_epoch"])
+
 
 class EarlyStopping:
     """Patience-based stop with initial grace period and per-fusion-strategy
@@ -187,6 +192,23 @@ class EarlyStopping:
             self.current_epoch - self.best_epoch[m] > self.patience
             for m in self.fusion_strategy
         )
+
+    def state_dict(self):
+        # msgpack keys must be strings; fusion strategies are small ints
+        return {
+            "best_val": {str(m): float(v) for m, v in self.best_val.items()},
+            "best_epoch": {str(m): int(v) for m, v in self.best_epoch.items()},
+            "current_epoch": self.current_epoch,
+            "idx": self._idx,
+        }
+
+    def load_state_dict(self, sd) -> None:
+        for m in self.fusion_strategy:
+            if str(m) in sd["best_val"]:
+                self.best_val[m] = float(sd["best_val"][str(m)])
+                self.best_epoch[m] = int(sd["best_epoch"][str(m)])
+        self.current_epoch = int(sd["current_epoch"])
+        self._idx = int(sd["idx"])
 
 
 def back_up_code(store_dir: str, info: str, src_root: Optional[str] = None) -> str:

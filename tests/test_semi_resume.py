@@ -35,6 +35,18 @@ def test_semi_periodic_checkpoint_and_resume(tmp_path):
     mdir = tmp_path / "dcase" / "model"
     assert (mdir / "rsm_0").exists() and (mdir / "rsm_1").exists()
 
+    # the periodic checkpoint must carry FULL resume state: AdamW moments,
+    # step counter (LR schedule), and SaveBest/EarlyStopping policies —
+    # otherwise a watchdog auto-resume silently resets the optimizer
+    from sound_event_detection_transformer_tpu.utils.checkpoint import (
+        load_checkpoint,
+    )
+
+    ck = load_checkpoint(str(mdir / "rsm_1"))
+    assert {"opt_state", "step", "policies", "classwise_threshold"} <= set(ck)
+    assert int(ck["step"]) > 0
+    assert "early" in ck["policies"] and "best_saver" in ck["policies"]
+
     r2 = _run(tmp_path, ["--epochs", "3", "--resume", "rsm_1"])
     assert r2.returncode == 0, r2.stdout[-1500:] + r2.stderr[-1500:]
     assert "resumed from rsm_1 at epoch 2" in r2.stdout
