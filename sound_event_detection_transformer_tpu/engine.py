@@ -23,7 +23,7 @@ import optax
 
 from .config import SEDTConfig
 from .models import set_criterion, total_loss
-from .models.criterion import DenseTargets
+from .models.criterion import DenseTargets, joint_match
 from .models.postprocess import postprocess
 from .ops import augment
 
@@ -385,9 +385,32 @@ def make_semi_train_step(
                        for k, v in both_out.items()}
             st_out = {k: (v[:, n_l:] if k.startswith("aux_") else v[n_l:])
                       for k, v in both_out.items()}
+
+            # The Hungarian kernel's cost scales with the number of CALLS,
+            # not problems (sequential-control-flow bound): solve the labeled
+            # AND pseudo-labeled assignment problems in ONE batched call over
+            # the full-batch outputs + concatenated targets, then split.  The
+            # per-problem results are bit-identical to two separate solves
+            # (vmap semantics); only valid for plain matching.
+            pre_sup = pre_un = None
+            if not fine_tune and not normalize:
+                targets_cat = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b], 0), targets_l, pseudo
+                )
+                m_all, aux_all = joint_match(both_out, targets_cat, cfg.loss, fl)
+                cut = lambda t, sl: jax.tree.map(lambda x: x[sl], t)
+                cut_aux = lambda t, sl: (
+                    None if t is None else jax.tree.map(lambda x: x[:, sl], t)
+                )
+                pre_sup = (cut(m_all, slice(0, n_l)),
+                           cut_aux(aux_all, slice(0, n_l)))
+                pre_un = (cut(m_all, slice(n_l, None)),
+                          cut_aux(aux_all, slice(n_l, None)))
+
             sup_losses, _ = set_criterion(
                 sup_out, targets_l, strong_l, weak_l, cfg.model, cfg.loss,
                 fine_tune=fine_tune, normalize=normalize, fl=fl, rng=r_m1,
+                precomputed=pre_sup,
             )
             sup = total_loss(sup_losses, weight_dict)
 
@@ -396,6 +419,7 @@ def make_semi_train_step(
             un_losses, _ = set_criterion(
                 st_out, pseudo, unlabel_u, None, cfg.model, cfg.loss,
                 fine_tune=fine_tune, normalize=normalize, fl=fl, rng=r_m2,
+                precomputed=pre_un,
             )
             unsup = total_loss(un_losses, weight_dict)
             aux = {f"sup_{k}": v for k, v in sup_losses.items()}

@@ -222,6 +222,55 @@ def build_weight_dict(mcfg: ModelConfig, lcfg: LossConfig) -> Dict[str, float]:
     return wd
 
 
+def _match_kw(lcfg: LossConfig, fl: bool) -> Dict:
+    return dict(
+        cost_class=lcfg.set_cost_class,
+        cost_bbox=lcfg.set_cost_bbox,
+        cost_giou=lcfg.set_cost_giou,
+        focal=fl,
+        alpha_fl=lcfg.alpha_fl,
+        gamma_fl=lcfg.gamma_fl,
+    )
+
+
+def joint_match(
+    outputs: Dict[str, jnp.ndarray],
+    targets: DenseTargets,
+    lcfg: LossConfig,
+    fl: bool = False,
+) -> Tuple[MatchResult, Optional[MatchResult]]:
+    """Plain matching for the final + all aux decoder layers in ONE batched
+    LSAP solve (the Hungarian kernel's device cost scales with the number of
+    *calls*, not problems — ops/matcher.py).  Returns (mres, aux_mres); pass
+    the pair to :func:`set_criterion` via ``precomputed`` to share one solve
+    across several criterion calls (the semi step batches its labeled and
+    pseudo-labeled assignment problems this way)."""
+    kw = _match_kw(lcfg, fl)
+    if "aux_logits" in outputs:
+        all_logits = jnp.concatenate(
+            [outputs["pred_logits"][None], outputs["aux_logits"]], axis=0
+        )
+        all_boxes = jnp.concatenate(
+            [outputs["pred_boxes"][None], outputs["aux_boxes"]], axis=0
+        )
+        all_m = jax.vmap(
+            lambda lg, bx: match(
+                lg, bx, targets.labels, targets.boxes, targets.box_valid,
+                targets.ratio, **kw,
+            )
+        )(all_logits, all_boxes)
+        all_m = jax.tree.map(jax.lax.stop_gradient, all_m)
+        return (
+            jax.tree.map(lambda x: x[0], all_m),
+            jax.tree.map(lambda x: x[1:], all_m),
+        )
+    m = match(
+        outputs["pred_logits"], outputs["pred_boxes"], targets.labels,
+        targets.boxes, targets.box_valid, targets.ratio, **kw,
+    )
+    return jax.tree.map(jax.lax.stop_gradient, m), None
+
+
 def set_criterion(
     outputs: Dict[str, jnp.ndarray],
     targets: DenseTargets,
@@ -233,11 +282,15 @@ def set_criterion(
     normalize: bool = False,
     fl: bool = False,
     rng: Optional[jax.Array] = None,
+    precomputed: Optional[Tuple[MatchResult, Optional[MatchResult]]] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], Optional[MatchResult]]:
     """Full criterion (reference SetCriterion.forward, sedt.py:309-352).
 
     Returns (losses, final-layer match result).  Use
     :func:`build_weight_dict` + :func:`total_loss` to reduce to a scalar.
+    ``precomputed``: externally solved ``(mres, aux_mres)`` (see
+    :func:`joint_match`) — only valid for plain matching
+    (no fine_tune/normalize).
     """
     B = outputs["pred_boxes"].shape[0]
     strong = (
@@ -249,14 +302,7 @@ def set_criterion(
     labeled = jnp.clip(strong + weak, 0.0, 1.0)
     num_classes = mcfg.num_classes if not mcfg.self_sup else 1
 
-    match_kw = dict(
-        cost_class=lcfg.set_cost_class,
-        cost_bbox=lcfg.set_cost_bbox,
-        cost_giou=lcfg.set_cost_giou,
-        focal=fl,
-        alpha_fl=lcfg.alpha_fl,
-        gamma_fl=lcfg.gamma_fl,
-    )
+    match_kw = _match_kw(lcfg, fl)
     losses: Dict[str, jnp.ndarray] = {}
     mres = None
     aux_mres = None
@@ -269,22 +315,11 @@ def set_criterion(
         # common case) we stack it with the aux layers and pay for ONE
         # batched solve over (1 + A) x B problems instead of two calls.
         joint = has_aux and not fine_tune and not normalize
-        if joint:
-            all_logits = jnp.concatenate(
-                [outputs["pred_logits"][None], outputs["aux_logits"]], axis=0
-            )
-            all_boxes = jnp.concatenate(
-                [outputs["pred_boxes"][None], outputs["aux_boxes"]], axis=0
-            )
-            all_m = jax.vmap(
-                lambda lg, bx: match(
-                    lg, bx, targets.labels, targets.boxes, targets.box_valid,
-                    targets.ratio, **match_kw,
-                )
-            )(all_logits, all_boxes)
-            all_m = jax.tree.map(jax.lax.stop_gradient, all_m)
-            mres = jax.tree.map(lambda x: x[0], all_m)
-            aux_mres = jax.tree.map(lambda x: x[1:], all_m)
+        if precomputed is not None:
+            assert not fine_tune and not normalize
+            mres, aux_mres = precomputed
+        elif joint:
+            mres, aux_mres = joint_match(outputs, targets, lcfg, fl)
         else:
             mres = match(
                 outputs["pred_logits"],

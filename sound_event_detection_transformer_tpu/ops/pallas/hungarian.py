@@ -176,16 +176,22 @@ def pallas_hungarian(cost: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
 # which Mosaic also can't lower on values).
 # ---------------------------------------------------------------------------
 
-# Why not ALSO pack 4 problems along the 128 lanes (32 lanes each, nc1<=32)?
-# Arithmetic says no: every Dijkstra iteration needs 2 segment-select
-# broadcasts (pick) and 2 segment-min broadcasts (delta, argmin j1); with
-# aligned-32 segments each costs a 10-step pltpu.roll butterfly (~40 vreg
-# ops), so the iteration grows from ~55 to ~200 vreg ops while serving 4x
-# the problems — total sequential work improves only ~10%, inside
-# measurement noise, for a much more fragile kernel.  An early-exit
-# scf.while variant is also a dead end: a vector-reduction loop condition
-# costs ~35 us PER ITERATION on Mosaic (13x slower overall, measured).
+# A second packing axis — 4 problems along the 128 lanes (32-lane segments,
+# nc1 <= 32) — is implemented below (`_jv_lane_kernel`) and measured 2.5-4.5x
+# faster at the trainer geometries (round 5; an earlier estimate here argued
+# it couldn't pay, assuming ~40 vreg ops per segment reduction — in practice
+# the within-segment min is a log2(32)=5-step masked pltpu.roll butterfly and
+# the segment *selects* ride the MXU as one [S,128]x[128,128] block-diagonal
+# matmul, so the iteration grows ~2x while serving 4x the problems):
+#   [192,10,20]: 4.6 -> 1.02 ms   [384,20,20]: 9.1 -> 3.66 ms
+#   [1200,20,20]: 28.5 -> 10.6 ms  (scan-chained microbench, TPU v5e)
+# `solve_lsap`'s geometries all have nc1 = 21 <= 32, so the lane-segmented
+# kernel is the default dispatch; this sublane-only variant remains the
+# fallback for nc1 > 32.  An early-exit scf.while variant is a dead end
+# either way: a vector-reduction loop condition costs ~35 us PER ITERATION
+# on Mosaic (13x slower overall, measured).
 SUBS = 8
+LSEG = 32  # lane-segment width of the lane-packed kernel (nc1 <= LSEG)
 
 
 def _jv_packed_kernel(cost_ref, out_ref, *, nr1: int, nc1: int, subs: int):
@@ -286,17 +292,157 @@ def _jv_packed_kernel(cost_ref, out_ref, *, nr1: int, nc1: int, subs: int):
     out_ref[0] = p - 1
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_hungarian_packed(cost: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """Batched exact LSAP, SUBS problems per grid program.
+def _roll(x: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Cyclic roll along the lane axis: out[..., i] = x[..., i - shift]."""
+    if _HAS_PLTPU:
+        return pltpu.roll(x, shift, 1)
+    return jnp.roll(x, shift, axis=1)  # pragma: no cover - CPU fallback
 
-    cost [B, nr, nc] f32 with nr <= nc -> row4col [B, nc] int32: for each
-    column the assigned row, or -1 for the nc-nr columns left unassigned.
-    Square inputs behave exactly like the previous square-only version
-    (every column assigned).  B is padded up to SUBS internally.
+
+def _jv_lane_kernel(cost_ref, out_ref, *, nr1: int, nc1: int, subs: int,
+                    lseg: int):
+    """Lane-segmented + sublane-packed JV: subs * (LANES // lseg) problems
+    per grid program, each in an lseg-lane segment of the 128-lane vregs.
+
+    Same masked-vector JV as :func:`_jv_packed_kernel`, with the two scalar-
+    per-problem reductions turned into segment-local ones:
+      * segment select/broadcast (``pick``, ``row_of``) — one-hot mask then
+        an MXU matmul against a [C, C] block-diagonal ones matrix;
+      * segment min (``delta``, ``j1``) — a log2(lseg)-step butterfly of
+        masked intra-segment cyclic rolls.
+    All per-problem scalars (j0, i0, delta, active) therefore live as
+    segment-replicated f32 lanes; ids stay f32 (exact to 2^24) because the
+    MXU path is f32.
     """
+    R = cost_ref.shape[2]
+    C = cost_ref.shape[3]
+    cost = cost_ref[0].astype(jnp.float32)  # [S, R, C], VMEM-resident
+    lane = lax.broadcasted_iota(jnp.int32, (subs, C), 1)
+    lp32 = lane % lseg  # column index within the segment (0 = virtual root)
+    in_range = (lp32 >= 1) & (lp32 < nc1)
+
+    li = lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    lj = lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    segmat = ((li // lseg) == (lj // lseg)).astype(jnp.float32)  # [C, C]
+
+    def seg_sum(x):  # [S, C] f32 -> segment sums broadcast to every lane
+        return jnp.dot(x, segmat, preferred_element_type=jnp.float32)
+
+    def pick(vec, j):  # vec[s, seg_start + j] broadcast over the segment
+        sel = jnp.where(lp32 == j, vec.astype(jnp.float32), 0.0)
+        return seg_sum(sel)
+
+    def seg_min(x):  # [S, C] f32 -> segment min broadcast to every lane
+        s = lseg // 2
+        while s >= 1:
+            r1 = _roll(x, C - s)     # lane l <- x[l + s (mod C)]
+            r2 = _roll(x, lseg - s)  # lane l <- x[l + s - lseg]: seg wrap
+            x = jnp.minimum(x, jnp.where(lp32 < lseg - s, r1, r2))
+            s //= 2
+        return x
+
+    def nonrep(x):  # see _jv_packed_kernel.nonrep
+        z = jnp.minimum(
+            lax.broadcasted_iota(jnp.int32, x.shape, 0)
+            + lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1),
+            0,
+        )
+        return x + z.astype(x.dtype)
+
+    u = nonrep(jnp.zeros((subs, C), jnp.float32))
+    v = nonrep(jnp.zeros((subs, C), jnp.float32))
+    p = nonrep(jnp.zeros((subs, C), jnp.float32))  # col -> row, 1-indexed
+
+    for i in range(1, nr1):  # insert row i (static unroll: nr is small)
+        p = jnp.where(lp32 == 0, float(i), p)
+
+        def dij(_, st, p=p):
+            u, v, minv, used, way, row_in_tree, j0, active = st
+            act = active > 0.0  # [S, C] segment-replicated
+            used = jnp.where(act & (lp32 == j0), 1.0, used)
+            i0 = pick(p, j0)  # [S, C] f32 row id, segment-replicated
+            row_in_tree = jnp.where(act & (lp32 == i0), 1.0, row_in_tree)
+            # select row i0 of each segment's (R x lseg) block
+            a_row = jnp.zeros((subs, C), jnp.float32)
+            for r in range(1, nr1):
+                a_row = a_row + jnp.where(i0 == float(r), cost[:, r, :], 0.0)
+            cur = a_row - pick(u, i0) - v
+            valid = in_range & (used == 0.0)
+            better = act & valid & (cur < minv)
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
+            masked = jnp.where(valid, minv, INF)
+            delta = seg_min(masked)
+            j1 = seg_min(
+                jnp.where(masked <= delta, lp32.astype(jnp.float32), 2.0 * C)
+            )
+            delta = jnp.where(act, delta, 0.0)  # avoid 0 * INF below
+            u = u + delta * row_in_tree * active
+            v = v - delta * used * active
+            minv = minv - delta * (1.0 - used) * active
+            j0 = jnp.where(act, j1, j0)
+            active = jnp.where(act & (pick(p, j1) != 0.0), 1.0, 0.0)
+            return (u, v, minv, used, way, row_in_tree, j0, active)
+
+        st = (
+            u,
+            v,
+            nonrep(jnp.full((subs, C), INF, jnp.float32)),  # minv
+            nonrep(jnp.zeros((subs, C), jnp.float32)),  # used
+            nonrep(jnp.zeros((subs, C), jnp.float32)),  # way (f32 col ids)
+            nonrep(jnp.zeros((subs, C), jnp.float32)),  # row_in_tree
+            nonrep(jnp.zeros((subs, C), jnp.float32)),  # j0
+            nonrep(jnp.ones((subs, C), jnp.float32)),  # active
+        )
+        u, v, _, _, way, _, j0, _ = lax.fori_loop(0, i, dij, st)
+
+        def aug(_, st):
+            p, j0, walk = st
+            act = walk > 0.0
+            j1 = pick(way, j0)
+            pj1 = pick(p, j1)
+            p = jnp.where(act & (lp32 == j0), pj1, p)
+            j0 = jnp.where(act, j1, j0)
+            walk = jnp.where(act & (j0 != 0.0), 1.0, 0.0)
+            return (p, j0, walk)
+
+        p, _, _ = lax.fori_loop(
+            0, i, aug, (p, j0, nonrep(jnp.ones((subs, C), jnp.float32)))
+        )
+
+    out_ref[0] = p.astype(jnp.int32) - 1
+
+
+def _lane_packed(cost: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     b, nr, nc = cost.shape
-    assert nr <= nc, "rectangular solve requires rows <= cols (transpose)"
+    nr1, nc1 = nr + 1, nc + 1
+    R = _round_up(nr1, 8)
+    lp = LANES // LSEG  # problems per lane-segment row
+    per = SUBS * lp  # problems per grid program
+    g = -(-b // per)
+    a = jnp.zeros((g * per, R, LSEG), jnp.float32)
+    a = a.at[:b, 1 : nr + 1, 1 : nc + 1].set(cost)
+    # problem index b = (g*S + s)*lp + l  ->  [g, S, R, lp*lseg]
+    a = a.reshape(g, SUBS, lp, R, LSEG).transpose(0, 1, 3, 2, 4)
+    a = a.reshape(g, SUBS, R, LANES)
+    mem = pltpu.VMEM if _HAS_PLTPU else None
+    kw = {"memory_space": mem} if mem is not None else {}
+    out = pl.pallas_call(
+        functools.partial(
+            _jv_lane_kernel, nr1=nr1, nc1=nc1, subs=SUBS, lseg=LSEG
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, SUBS, LANES), jnp.int32),
+        grid=(g,),
+        in_specs=[pl.BlockSpec((1, SUBS, R, LANES), lambda i: (i, 0, 0, 0), **kw)],
+        out_specs=pl.BlockSpec((1, SUBS, LANES), lambda i: (i, 0, 0), **kw),
+        interpret=interpret,
+    )(a)
+    out = out.reshape(g, SUBS, lp, LSEG).reshape(g * per, LSEG)
+    return out[:b, 1 : nc + 1]
+
+
+def _sublane_packed(cost: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    b, nr, nc = cost.shape
     nr1, nc1 = nr + 1, nc + 1
     R = _round_up(nr1, 8)
     C = _round_up(nc1, LANES)
@@ -315,3 +461,23 @@ def pallas_hungarian_packed(cost: jnp.ndarray, interpret: bool = False) -> jnp.n
         interpret=interpret,
     )(a)
     return out.reshape(g * SUBS, C)[:b, 1 : nc + 1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "force_sublane"))
+def pallas_hungarian_packed(
+    cost: jnp.ndarray, interpret: bool = False, force_sublane: bool = False
+) -> jnp.ndarray:
+    """Batched exact LSAP, SUBS (sublane) x 4 (lane-segment) problems per
+    grid program when nc + 1 <= LSEG (every trainer geometry), else SUBS.
+
+    cost [B, nr, nc] f32 with nr <= nc -> row4col [B, nc] int32: for each
+    column the assigned row, or -1 for the nc-nr columns left unassigned.
+    Square inputs behave exactly like the previous square-only version
+    (every column assigned).  B is padded up to the pack factor internally.
+    ``force_sublane`` pins the sublane-only kernel (testing/fallback).
+    """
+    b, nr, nc = cost.shape
+    assert nr <= nc, "rectangular solve requires rows <= cols (transpose)"
+    if nc + 1 <= LSEG and not force_sublane:
+        return _lane_packed(cost, interpret)
+    return _sublane_packed(cost, interpret)

@@ -216,3 +216,37 @@ def test_pallas_hungarian_packed_edge_sizes(rng):
             sc = costs[b][r, c].sum()
             op = sum(costs[b][out[b, j], j] for j in range(N))
             assert abs(op - sc) <= 1e-2 * max(1.0, abs(sc)), (N, b)
+
+
+def test_pallas_hungarian_packed_dispatch_paths(rng):
+    """Lane-segmented (nc+1 <= 32), forced-sublane, and wide-auto-fallback
+    (nc+1 > 32) paths all agree with scipy and with each other."""
+    from sound_event_detection_transformer_tpu.ops.pallas.hungarian import (
+        LSEG,
+        pallas_hungarian_packed,
+    )
+
+    def check(costs, **kw):
+        B, Q, M = costs.shape
+        out = np.asarray(
+            pallas_hungarian_packed(jnp.asarray(costs), interpret=True, **kw)
+        )
+        assert out.shape == (B, M)
+        for b in range(B):
+            r, c = linear_sum_assignment(costs[b])
+            sc = costs[b][r, c].sum()
+            assigned = [(out[b, j], j) for j in range(M) if out[b, j] >= 0]
+            assert len(assigned) == Q
+            op = sum(costs[b][q, j] for q, j in assigned)
+            assert abs(op - sc) <= 1e-2 * max(1.0, abs(sc)), (Q, M, b)
+        return out
+
+    # B=37 exercises padding to the 32-problems/program lane pack factor
+    costs = (rng.randn(37, 10, 20) * rng.uniform(0.1, 10)).astype(np.float32)
+    lane = check(costs)
+    sub = check(costs, force_sublane=True)
+    np.testing.assert_array_equal(lane, sub)  # identical tie-breaking
+    # lseg boundary: nc = LSEG - 1 is the widest lane-packed problem
+    check((rng.randn(5, 8, LSEG - 1) * 3).astype(np.float32))
+    # nc + 1 > LSEG auto-falls back to the sublane kernel
+    check((rng.randn(5, 10, 40) * 3).astype(np.float32))
