@@ -44,25 +44,58 @@ from sound_event_detection_transformer_tpu.config import DCASE_CLASSES, URBAN_CL
 SR = 44100
 SECONDS = 10.0
 
+# Generator parameter domains (semi-supervised information-headroom design).
+# 'legacy' reproduces the original fixed generator bit-for-bit (all prior
+# ACCURACY runs).  'restricted' is a narrow slice of the acoustic parameter
+# space — loud, long, single-timbre events on a fixed noise floor.  'full' is
+# the superset the restricted slice is drawn from: quieter events (down to
+# ~-11 dB relative), shorter events, three timbre families, +/-2% detune and
+# a varying noise floor.  The mean-teacher experiment labels the restricted
+# slice and leaves the full space unlabeled, mirroring DCASE2019-task4's
+# synthetic-strong vs real-unlabeled structure (reference README.md:119-137):
+# the unlabeled pool then carries acoustic variation the strong labels lack,
+# which is the information a semi-supervised system can win.
+TIMBRES = {
+    "A": ((1, 1.0), (2, 0.5), (3, 0.25)),          # the legacy stack
+    "B": ((1, 1.0), (2, 0.15), (3, 0.6), (4, 0.3)),  # bright / hollow
+    "C": ((1, 1.0), (3, 0.33), (5, 0.2)),            # odd harmonics (square-ish)
+}
+DOMAINS = {
+    "legacy": dict(amp=(0.7, 1.3), dur=(0.8, 3.5), noise=(0.03, 0.03),
+                   timbres="A", detune=0.0),
+    "restricted": dict(amp=(0.9, 1.3), dur=(1.6, 3.5), noise=(0.03, 0.03),
+                       timbres="A", detune=0.0),
+    "full": dict(amp=(0.35, 1.3), dur=(0.7, 3.5), noise=(0.02, 0.05),
+                 timbres="ABC", detune=0.02),
+}
+
 
 def synth_clip(rng: np.random.RandomState, n_classes: int, max_events: int = 3,
-               min_events: int = 1, sr: int = SR):
+               min_events: int = 1, sr: int = SR, domain: str = "legacy"):
     """One 10 s waveform + its event list [(label_idx, onset_s, offset_s)]."""
+    dom = DOMAINS[domain]
     n = int(sr * SECONDS)
-    y = rng.randn(n).astype(np.float32) * 0.03  # ~-30 dB noise floor
+    # fixed-width ranges take NO rng draw so 'legacy' stays bit-identical to
+    # the original generator (prior ACCURACY datasets are reproducible)
+    lo, hi = dom["noise"]
+    y = rng.randn(n).astype(np.float32) * (lo if lo == hi else rng.uniform(lo, hi))
     events = []
     for _ in range(rng.randint(min_events, max_events + 1)):
         ci = rng.randint(n_classes)
-        dur = rng.uniform(0.8, 3.5)  # seconds — same band as make_clip
+        dur = rng.uniform(*dom["dur"])  # seconds
         on = rng.uniform(0.0, SECONDS - dur)
         t = np.arange(int(dur * sr)) / sr
         f0 = 220.0 * (ci + 1)
+        if dom["detune"]:
+            f0 *= rng.uniform(1.0 - dom["detune"], 1.0 + dom["detune"])
+        fam = dom["timbres"]
+        fam = fam if len(fam) == 1 else fam[rng.randint(len(fam))]
         burst = np.zeros_like(t, np.float32)
-        for h, amp in ((1, 1.0), (2, 0.5), (3, 0.25)):
+        for h, amp in TIMBRES[fam]:
             burst += amp * np.sin(2 * np.pi * f0 * h * t).astype(np.float32)
         # 10 ms linear attack/release so the band edge is not a click
         env = np.minimum(1.0, np.minimum(t, dur - t) / 0.01).astype(np.float32)
-        burst *= 0.2 * env * rng.uniform(0.7, 1.3)
+        burst *= 0.2 * env * rng.uniform(*dom["amp"])
         i0 = int(on * sr)
         y[i0:i0 + len(t)] += burst
         events.append((ci, on, on + dur))
@@ -71,7 +104,7 @@ def synth_clip(rng: np.random.RandomState, n_classes: int, max_events: int = 3,
 
 def write_split(root: str, split: str, n_clips: int, classes, seed: int,
                 sr: int = SR, audio_sub: str = None, tsv_path: str = None,
-                label_mode: str = "strong"):
+                label_mode: str = "strong", domain: str = "legacy"):
     """Emit one split: wavs under ``audio/<audio_sub or split>`` plus its TSV.
 
     ``label_mode``: 'strong' = (filename, onset, offset, event_label) rows;
@@ -88,7 +121,7 @@ def write_split(root: str, split: str, n_clips: int, classes, seed: int,
     rows = []
     for i in range(n_clips):
         fname = f"{split}_clip_{i}.wav"
-        y, events = synth_clip(rng, len(classes), sr=sr)
+        y, events = synth_clip(rng, len(classes), sr=sr, domain=domain)
         wavfile.write(
             osp.join(adir, fname), sr,
             (np.clip(y, -1, 1) * 32767).astype(np.int16),
@@ -111,7 +144,7 @@ def write_split(root: str, split: str, n_clips: int, classes, seed: int,
         "unlabel": ["filename"],
     }[label_mode]
     pd.DataFrame(rows, columns=cols).to_csv(tsv, sep="\t", index=False)
-    print(f"{split}: {n_clips} clips, {len(rows)} rows ({label_mode})")
+    print(f"{split}: {n_clips} clips, {len(rows)} rows ({label_mode}, {domain})")
 
 
 def main():
@@ -126,6 +159,12 @@ def main():
     ap.add_argument("--test", default=512, type=int)
     ap.add_argument("--num_classes", default=10, type=int)
     ap.add_argument("--seed", default=0, type=int)
+    ap.add_argument(
+        "--headroom", action="store_true",
+        help="dcase only: strong labels from the RESTRICTED generator slice; "
+        "weak/unlabeled/validation/eval from the FULL space — gives the "
+        "unlabeled pool information the strong labels lack (the regime the "
+        "reference's mean-teacher +10.9 rides; see DOMAINS above)")
     args = ap.parse_args()
 
     if args.dataname == "urbansed":
@@ -141,24 +180,30 @@ def main():
     classes = DCASE_CLASSES[: args.num_classes]
     root = osp.join(args.root, "dcase")
     sr = 16000
+    # --headroom: strong = restricted slice, everything else = full space
+    # (DCASE2019's own structure: synthetic strong vs real weak/unlabeled/val)
+    d_strong = "restricted" if args.headroom else "legacy"
+    d_wild = "full" if args.headroom else "legacy"
     meta = lambda *p: osp.join(root, "metadata", *p)
     write_split(root, "synthetic", args.strong, classes, args.seed, sr=sr,
                 audio_sub=osp.join("train", "synthetic_2019", "soundscapes"),
-                tsv_path=meta("train", "synthetic_2019", "soundscapes.tsv"))
+                tsv_path=meta("train", "synthetic_2019", "soundscapes.tsv"),
+                domain=d_strong)
     write_split(root, "weak", args.weak, classes, args.seed + 3, sr=sr,
                 audio_sub=osp.join("train", "weak"),
-                tsv_path=meta("train", "weak.tsv"), label_mode="weak")
+                tsv_path=meta("train", "weak.tsv"), label_mode="weak",
+                domain=d_wild)
     write_split(root, "unlabel", args.unlabel, classes, args.seed + 4, sr=sr,
                 audio_sub=osp.join("train", "unlabel_in_domain"),
                 tsv_path=meta("train", "unlabel_in_domain.tsv"),
-                label_mode="unlabel")
+                label_mode="unlabel", domain=d_wild)
     # validation audio lives directly under audio/validation (config.py:26)
     write_split(root, "validation", args.validate, classes, args.seed + 1,
                 sr=sr, audio_sub="validation",
-                tsv_path=meta("validation", "validation.tsv"))
+                tsv_path=meta("validation", "validation.tsv"), domain=d_wild)
     write_split(root, "public", args.test, classes, args.seed + 2, sr=sr,
                 audio_sub=osp.join("eval", "public"),
-                tsv_path=meta("eval", "public.tsv"))
+                tsv_path=meta("eval", "public.tsv"), domain=d_wild)
 
 
 if __name__ == "__main__":
