@@ -175,6 +175,61 @@ class DataLoadDf:
         return data, y
 
 
+class WavLoadDf(DataLoadDf):
+    """DataLoadDf variant yielding RAW fixed-length waveforms as features.
+
+    The streaming counterpart of the cached-.npy path (``--from_wavs``):
+    ``__getitem__`` returns ([n_samples] float32 waveform, labels) and the
+    jitted train step runs ``ops.frontend.make_frontend_fn`` in-graph, so the
+    STFT/mel/log/normalize chain compiles into the same XLA program as the
+    model (reference SedData.py:195-217 done on the MXU instead of the host).
+    Labels encode from the TSV rows exactly as in the parent (onset/offset
+    are in seconds — no frame arithmetic happens on the host).
+
+    Requires the ``wav_filename`` column (``SedData.initialize_and_get_df``).
+    The SP-SEDT patch path and host transforms are feature-domain concepts
+    and are unsupported here; ``features_only`` works (returning waveforms),
+    so a FeatureBank built over this dataset holds waveforms in HBM.
+    """
+
+    def __init__(self, df, encode_function=None, n_samples: int = 0,
+                 sr: int = 16000, in_memory: bool = False):
+        super().__init__(df, encode_function, transform=None,
+                         in_memory=in_memory)
+        assert n_samples > 0 and "wav_filename" in df.columns
+        self.n_samples, self.sr = n_samples, sr
+        self.wav_filenames = df.wav_filename.drop_duplicates()
+
+    def _load_wav(self, path: str) -> np.ndarray:
+        from .features import read_audio
+
+        y, _ = read_audio(path, self.sr)
+        if len(y) < self.n_samples:
+            y = np.pad(y, (0, self.n_samples - len(y)))
+        return y[: self.n_samples].astype(np.float32)
+
+    def _features(self, index_path: str) -> np.ndarray:  # path = wav path
+        if not self.in_memory:
+            return self._load_wav(index_path)
+        if index_path not in self._cache:
+            self._cache[index_path] = self._load_wav(index_path)
+        return self._cache[index_path]
+
+    def features_only(self, index: int) -> Tuple[np.ndarray, int]:
+        return self._features(self.wav_filenames.iloc[index]), self.n_samples
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, Dict]:
+        data = self._features(self.wav_filenames.iloc[index])
+        raw = self._raw_label(index)
+        if self.encode_function is not None:
+            y = self.encode_function(raw)
+        else:
+            y = {"labels": np.zeros((0,), np.int64),
+                 "boxes": np.zeros((0, 2), np.float32),
+                 "orig_size": np.asarray(10.0)}
+        return data, y
+
+
 class ConcatDataset:
     """Concatenation with per-source cluster indices (DataLoad.py:197-247)."""
 
@@ -265,7 +320,12 @@ def collate(
     if unlabel_flags is not None:
         strong = strong & ~unlabel_flags
         weak = weak & ~unlabel_flags
-    pad_mask = np.zeros(feats.shape[:2], dtype=bool)
+    # raw-waveform batches ([B, n_samples, 1], WavLoadDf): the in-graph
+    # frontend rebuilds the [B, T] mask itself (engine.py:138-143) — don't
+    # ship a [B, 160k] bool placeholder every step
+    pad_mask = np.zeros(
+        (feats.shape[0], 1 if feats.ndim == 3 else feats.shape[1]), dtype=bool
+    )
     patches = None
     if "patches" in samples[0][1]:
         patches = np.stack([s[1]["patches"] for s in samples]).astype(np.float32)[

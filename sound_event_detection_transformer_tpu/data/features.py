@@ -168,11 +168,11 @@ class SedData:
             wav = osp.join(audio_dir, fname)
             out = osp.join(self.feature_dir, osp.splitext(fname)[0] + ".npy")
             if self._extract(wav, out):
-                rows.append((fname, out))
+                rows.append((fname, out, wav))
+        cols = ["filename", "feature_filename", "wav_filename"]
         feat_df = (
-            pd.DataFrame(rows, columns=["filename", "feature_filename"])
-            if rows
-            else pd.DataFrame(columns=["filename", "feature_filename"])
+            pd.DataFrame(rows, columns=cols) if rows
+            else pd.DataFrame(columns=cols)
         )
         return df_meta.merge(feat_df, on="filename")
 

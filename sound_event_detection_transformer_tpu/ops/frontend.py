@@ -210,6 +210,8 @@ def make_frontend_fn(
     std = None if scaler_std is None else jnp.asarray(scaler_std, jnp.float32)
 
     def fn(waveforms: jnp.ndarray) -> jnp.ndarray:
+        if waveforms.ndim == 3:  # collated wav batches carry [B, N, 1]
+            waveforms = waveforms[..., 0]
         mel = batch_waveform_to_logmel(
             waveforms, sr=sr, n_fft=n_fft, n_window=n_window, hop=hop,
             n_mels=n_mels, compute_log=compute_log,

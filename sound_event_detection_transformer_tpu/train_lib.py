@@ -25,6 +25,7 @@ from .data.dataset import (
     ConcatDataset,
     DataLoadDf,
     MultiStreamBatchSampler,
+    WavLoadDf,
     batch_iterator,
 )
 from .data.encoder import BoxEncoder
@@ -143,6 +144,12 @@ def get_parser() -> argparse.ArgumentParser:
                         "supervised/semi/SP-SEDT trainers when the bank fits")
     p.add_argument("--no_device_data", dest="device_data",
                    action="store_false")
+    p.add_argument("--from_wavs", action="store_true", default=False,
+                   help="stream RAW waveforms to the device and run the "
+                        "wav->logmel->normalize frontend in-graph inside the "
+                        "jitted train step (ops/frontend.make_frontend_fn); "
+                        "the .npy cache is still built once for the scaler "
+                        "and the eval splits (supervised trainer only)")
     p.add_argument("--shard_bank", action="store_true", default=False,
                    help="force the FeatureBank to shard over the mesh's data "
                         "axis even when it would fit replicated (the layout "
@@ -383,32 +390,42 @@ def build_real_data(cfg: SEDTConfig, args) -> Dict:
 
     tf = get_transforms(cfg.model.max_frames, scaler, compute_log=True)
     out = {"encoder": enc, "scaler": scaler}
-    if cfg.data.dataset_name == "urbansed":
+    # --from_wavs: TRAIN batches carry raw fixed-length waveforms and the
+    # wav->logmel->normalize chain runs in-graph on device (VERDICT r4 #5 /
+    # SURVEY §7 step 2; engine.make_train_step(frontend_fn=...)).  The .npy
+    # cache is still built above (it feeds the scaler and the eval splits).
+    from_wavs = bool(getattr(args, "from_wavs", False))
+    if from_wavs:
+        n_samples = int(cfg.features.max_len_seconds * ds.fc.sample_rate)
+        mk_train = lambda df: WavLoadDf(
+            df, enc.encode_strong_df, n_samples=n_samples,
+            sr=ds.fc.sample_rate, in_memory=cfg.data.in_memory,
+        )
+        out["frontend"] = dict(
+            sr=ds.fc.sample_rate, n_fft=ds.fc.n_fft, n_window=ds.fc.n_window,
+            hop=ds.fc.hop_size, n_mels=ds.fc.n_mels,
+            scaler_mean=scaler.mean_, scaler_std=scaler.std_,
+        )
+    else:
         cache = cfg.data.in_memory  # post-transform cache (see DataLoadDf)
-        out["train"] = DataLoadDf(
-            dfs["train"], enc.encode_strong_df, tf,
+        mk_train = lambda df: DataLoadDf(
+            df, enc.encode_strong_df, tf,
             in_memory=cfg.data.in_memory, cache_transformed=cache,
         )
-        out["validation"] = DataLoadDf(dfs["validation"], enc.encode_strong_df,
-                                       tf, cache_transformed=cache)
-        out["eval"] = DataLoadDf(dfs["eval"], enc.encode_strong_df, tf,
-                                 cache_transformed=cache)
-        out["ref_valid"] = dfs["validation"].drop("feature_filename", axis=1)
-        out["ref_eval"] = dfs["eval"].drop("feature_filename", axis=1)
+    cache = cfg.data.in_memory
+    if cfg.data.dataset_name == "urbansed":
+        out["train"] = mk_train(dfs["train"])
     else:
-        cache = cfg.data.in_memory
-        out["train"] = ConcatDataset([
-            DataLoadDf(dfs["synthetic"], enc.encode_strong_df, tf,
-                       in_memory=cfg.data.in_memory, cache_transformed=cache),
-            DataLoadDf(dfs["weak"], enc.encode_strong_df, tf,
-                       in_memory=cfg.data.in_memory, cache_transformed=cache),
-        ])
-        out["validation"] = DataLoadDf(dfs["validation"], enc.encode_strong_df,
-                                       tf, cache_transformed=cache)
-        out["eval"] = DataLoadDf(dfs["eval"], enc.encode_strong_df, tf,
-                                 cache_transformed=cache)
-        out["ref_valid"] = dfs["validation"].drop("feature_filename", axis=1)
-        out["ref_eval"] = dfs["eval"].drop("feature_filename", axis=1)
+        out["train"] = ConcatDataset(
+            [mk_train(dfs["synthetic"]), mk_train(dfs["weak"])]
+        )
+    out["validation"] = DataLoadDf(dfs["validation"], enc.encode_strong_df,
+                                   tf, cache_transformed=cache)
+    out["eval"] = DataLoadDf(dfs["eval"], enc.encode_strong_df, tf,
+                             cache_transformed=cache)
+    drop = ["feature_filename", "wav_filename"]
+    out["ref_valid"] = dfs["validation"].drop(columns=drop, errors="ignore")
+    out["ref_eval"] = dfs["eval"].drop(columns=drop, errors="ignore")
     return out
 
 
@@ -671,10 +688,21 @@ def run_supervised(args) -> Dict[int, float]:
         start_epoch = int(ck.get("epoch", 0))
         log.info(f"resumed from epoch {start_epoch}")
 
+    # --from_wavs: fuse the waveform->logmel frontend into the train step
+    # (engine.py:138-143); training batches then carry [B, n_samples] audio
+    frontend_fn = None
+    if data.get("frontend") is not None:
+        from .ops.frontend import make_frontend_fn
+
+        frontend_fn = make_frontend_fn(
+            max_frames=cfg.model.max_frames, compute_log=True,
+            **data["frontend"],
+        )
+        log.info("fused in-graph waveform frontend (--from_wavs)")
     train_step = make_train_step(
         model, weight_dict, cfg, tx,
         fine_tune=cfg.train.fine_tune, normalize=cfg.train.normalize,
-        fl=cfg.train.focal_loss,
+        fl=cfg.train.focal_loss, frontend_fn=frontend_fn,
     )
     eval_step = make_eval_step(model, weight_dict, cfg, cfg.train.fusion_strategy)
 
@@ -701,7 +729,12 @@ def run_supervised(args) -> Dict[int, float]:
     # data/feature_bank.py).
     from .data.feature_bank import maybe_bank
 
-    train_bank = maybe_bank(args, concat, cfg, mesh=mesh, log=log)
+    # wav mode measures the STREAMING path (host ships raw audio each step);
+    # banking waveforms in HBM would fold it back into the gather design
+    train_bank = (
+        None if frontend_fn is not None
+        else maybe_bank(args, concat, cfg, mesh=mesh, log=log)
+    )
     valid_bank = maybe_bank(args, data["validation"], cfg, log=log)
     evalset_bank = (
         maybe_bank(args, data["eval"], cfg, log=log)
@@ -733,6 +766,7 @@ def run_supervised(args) -> Dict[int, float]:
             train_step = make_train_step(
                 model, weight_dict, cfg, tx, fine_tune=True,
                 normalize=cfg.train.normalize, fl=cfg.train.focal_loss,
+                frontend_fn=frontend_fn,
             )
             info = info + "_ft"
 
