@@ -850,10 +850,16 @@ def run_supervised(args) -> Dict[int, float]:
         stop = False
         for m, f1 in metrics.items():
             if best_saver[m].apply(f1):
+                # no opt_state: every consumer of a *_best checkpoint (the
+                # epochs_ls fine-tune reload above, the final test, the semi
+                # teacher init) reads only params/frozen, and --resume
+                # tolerates its absence.  The AdamW moments double the
+                # device->host fetch (~330 MB extra, ~50 s through the axon
+                # tunnel per improving eval); periodic checkpoints below keep
+                # the full resume state.
                 save_checkpoint(
                     osp.join(model_dir, f"{info}_{m}_best"),
                     {"params": state.params, "frozen": state.frozen,
-                     "opt_state": state.opt_state,
                      "epoch": epoch, f"event_based_f1_{m}": f1},
                 )
             if early.apply(f1):

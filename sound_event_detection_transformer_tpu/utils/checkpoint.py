@@ -39,6 +39,12 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # to_state_dict flattens namedtuples (e.g. optax opt_state) into dicts
     state = serialization.to_state_dict(state)
+    # one pipelined device->host fetch: jax.device_get issues
+    # copy_to_host_async on every leaf before blocking, where a per-leaf
+    # np.asarray would serialize a full round-trip per array (~40 ms each
+    # through the axon tunnel -- hundreds of leaves made best-checkpoint
+    # saves a multi-10-second stall in the eval loop)
+    state = jax.device_get(state)
     state = jax.tree.map(np.asarray, state)
     blob = serialization.msgpack_serialize(state)
     tmp = path + ".tmp"
